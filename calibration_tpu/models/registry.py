@@ -1,0 +1,66 @@
+"""Camera model registry — the functional replacement for the reference's
+C++20 ``camera_model`` concept + ``CameraTraits`` packing
+(include/calib/models/cameramodel.h:29-64).
+
+A model is a named bundle of pure functions over a flat parameter vector;
+solvers are generic over the spec, mirroring the reference's
+``optimize_intrinsics<CameraT>`` templates, and the flat packing matches the
+reference traits so covariance layouts line up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+from . import pinhole, scheimpflug
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraModelSpec:
+    name: str
+    param_count: int
+    idx_fx: int
+    idx_fy: int
+    idx_skew: int
+    project: Callable  # (intr, xyz[...,3]) -> uv[...,2]
+    unproject: Callable  # (intr, uv[...,2]) -> xy[...,2]
+    apply_intrinsics: Callable  # pixel -> normalized
+    remove_intrinsics: Callable  # normalized -> pixel
+
+
+PINHOLE = CameraModelSpec(
+    name="pinhole_brown_conrady",
+    param_count=pinhole.PARAM_COUNT,
+    idx_fx=pinhole.IDX_FX,
+    idx_fy=pinhole.IDX_FY,
+    idx_skew=pinhole.IDX_SKEW,
+    project=pinhole.project,
+    unproject=pinhole.unproject,
+    apply_intrinsics=pinhole.apply_intrinsics,
+    remove_intrinsics=pinhole.remove_intrinsics,
+)
+
+SCHEIMPFLUG = CameraModelSpec(
+    name="scheimpflug_pinhole_brown_conrady",
+    param_count=scheimpflug.PARAM_COUNT,
+    idx_fx=scheimpflug.IDX_FX,
+    idx_fy=scheimpflug.IDX_FY,
+    idx_skew=scheimpflug.IDX_SKEW,
+    project=scheimpflug.project,
+    unproject=scheimpflug.unproject,
+    apply_intrinsics=scheimpflug.apply_intrinsics,
+    remove_intrinsics=scheimpflug.remove_intrinsics,
+)
+
+MODELS = {m.name: m for m in (PINHOLE, SCHEIMPFLUG)}
+# Short aliases used by configs.
+MODELS["pinhole"] = PINHOLE
+MODELS["scheimpflug"] = SCHEIMPFLUG
+
+
+def get_model(name: str) -> CameraModelSpec:
+    try:
+        return MODELS[name]
+    except KeyError:
+        raise KeyError(f"Unknown camera model '{name}'; known: {sorted(MODELS)}") from None

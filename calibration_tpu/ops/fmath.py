@@ -1,0 +1,212 @@
+"""Accurate float64 transcendentals built from correctly-rounded primitives.
+
+The XLA CPU backend in some builds evaluates size-<=1 (scalar) f64
+transcendentals with a float32-accuracy fallback kernel (~1e-8 error —
+measured in this environment for sin/cos/tan/exp/log/arctan/arcsin), which
+silently destroys the 1e-6-level parameter-recovery parity this framework
+targets. Rotation exp/log maps and the Scheimpflug tilt trigonometry all
+evaluate trig on scalars inside jit.
+
+This module provides sin/cos/atan/atan2/acos/asin implemented with classic
+fdlibm-style argument reduction + minimax polynomials using only +,*,/,sqrt
+(all correctly rounded by every XLA backend), giving ~1e-16 relative accuracy
+for any shape on any backend, CPU or TPU. For float32 inputs the native ops
+are used (they are fine at that precision).
+
+Only the functions the numerical core needs are implemented; everything is
+differentiable (polynomials differentiate to polynomials of the right
+accuracy).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# --- sin/cos kernel coefficients on [-pi/4, pi/4] (fdlibm k_sin/k_cos) ---
+_S = (
+    -1.66666666666666324348e-01,
+    8.33333333332248946124e-03,
+    -1.98412698298579493134e-04,
+    2.75573137070700676789e-06,
+    -2.50507602534068634195e-08,
+    1.58969099521155010221e-10,
+)
+_C = (
+    4.16666666666666019037e-02,
+    -1.38888888888741095749e-03,
+    2.48015872894767294178e-05,
+    -2.75573143513906633035e-07,
+    2.08757232129817482790e-09,
+    -1.13596475577881948265e-11,
+)
+
+# pi/2 split for Cody-Waite reduction (fdlibm PIO2 parts)
+_PIO2_1 = 1.57079632673412561417e00  # first 33 bits of pi/2
+_PIO2_1T = 6.07710050650619224932e-11  # pi/2 - PIO2_1
+_TWO_OVER_PI = 6.36619772367581382433e-01
+
+_PI_HI = 3.1415926535897931160e00
+_PI_LO = 1.2246467991473531772e-16
+_PIO2_HI = 1.57079632679489655800e00
+_PIO2_LO = 6.12323399573676603587e-17
+
+
+def _k_sin(y):
+    z = y * y
+    r = _S[1] + z * (_S[2] + z * (_S[3] + z * (_S[4] + z * _S[5])))
+    return y + y * z * (_S[0] + z * r)
+
+
+def _k_cos(y):
+    z = y * y
+    r = _C[0] + z * (_C[1] + z * (_C[2] + z * (_C[3] + z * (_C[4] + z * _C[5]))))
+    return 1.0 - (0.5 * z - z * z * r)
+
+
+def _reduce(x):
+    """x -> (y, k) with y = x - k*pi/2 in [-pi/4, pi/4], k integer mod 4.
+
+    Two-term Cody-Waite reduction: exact for the |x| range that occurs in
+    geometry (|x| up to ~1e6 keeps the error < 1e-16 * |n|).
+    """
+    n = jnp.round(x * _TWO_OVER_PI)
+    y = (x - n * _PIO2_1) - n * _PIO2_1T
+    k = jnp.asarray(n, jnp.int32) & 3
+    return y, k
+
+
+def sin(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.sin(x)
+    y, k = _reduce(x)
+    s, c = _k_sin(y), _k_cos(y)
+    return jnp.where(
+        k == 0, s, jnp.where(k == 1, c, jnp.where(k == 2, -s, -c))
+    )
+
+
+def cos(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.cos(x)
+    y, k = _reduce(x)
+    s, c = _k_sin(y), _k_cos(y)
+    return jnp.where(
+        k == 0, c, jnp.where(k == 1, -s, jnp.where(k == 2, -c, s))
+    )
+
+
+def sincos(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.sin(x), jnp.cos(x)
+    y, k = _reduce(x)
+    s, c = _k_sin(y), _k_cos(y)
+    sin_v = jnp.where(k == 0, s, jnp.where(k == 1, c, jnp.where(k == 2, -s, -c)))
+    cos_v = jnp.where(k == 0, c, jnp.where(k == 1, -s, jnp.where(k == 2, -c, s)))
+    return sin_v, cos_v
+
+
+# --- atan (fdlibm rational polynomial with 4-interval reduction) ---
+_AT = (
+    3.33333333333329318027e-01,
+    -1.99999999998764832476e-01,
+    1.42857142725034663711e-01,
+    -1.11111104054623557880e-01,
+    9.09088713343650656196e-02,
+    -7.69187620504482999495e-02,
+    6.66107313738753120669e-02,
+    -5.83357013379057348645e-02,
+    4.97687799461593236017e-02,
+    -3.65315727442169155270e-02,
+    1.62858201153657823623e-02,
+)
+_ATAN_HI = (
+    4.63647609000806093515e-01,  # atan(0.5)
+    7.85398163397448278999e-01,  # atan(1.0)
+    9.82793723247329054082e-01,  # atan(1.5)
+    1.57079632679489655800e00,  # atan(inf)
+)
+_ATAN_LO = (
+    2.26987774529616870924e-17,
+    3.06161699786838301793e-17,
+    1.39033110312309984516e-17,
+    6.12323399573676603587e-17,
+)
+
+
+def _atan_poly(x):
+    """atan on |x| <= 7/16 via odd/even split polynomial."""
+    z = x * x
+    w = z * z
+    s1 = z * (_AT[0] + w * (_AT[2] + w * (_AT[4] + w * (_AT[6] + w * (_AT[8] + w * _AT[10])))))
+    s2 = w * (_AT[1] + w * (_AT[3] + w * (_AT[5] + w * (_AT[7] + w * _AT[9]))))
+    return x - x * (s1 + s2)
+
+
+def atan(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.arctan(x)
+    ax = jnp.abs(x)
+
+    # four reduction intervals; compute all branches, select (vector-friendly)
+    # guard divisions so unselected branches stay finite
+    t0 = _atan_poly(jnp.where(ax < 0.4375, x, 0.0))
+
+    y1 = (2.0 * ax - 1.0) / (2.0 + ax)
+    r1 = _ATAN_HI[0] - ((_atan_poly(-y1)) - _ATAN_LO[0])
+
+    y2 = (ax - 1.0) / (ax + 1.0)
+    r2 = _ATAN_HI[1] - ((_atan_poly(-y2)) - _ATAN_LO[1])
+
+    y3 = (ax - 1.5) / (1.0 + 1.5 * ax)
+    r3 = _ATAN_HI[2] - ((_atan_poly(-y3)) - _ATAN_LO[2])
+
+    big = ax >= 1.0e16
+    safe_ax = jnp.where(big | (ax < 2.4375), 1.0, ax)
+    y4 = -1.0 / safe_ax
+    r4 = jnp.where(big, _ATAN_HI[3], _ATAN_HI[3] + _atan_poly(y4) + _ATAN_LO[3])
+
+    small = ax < 0.4375
+    r_large = jnp.where(
+        ax < 0.6875, r1, jnp.where(ax < 1.1875, r2, jnp.where(ax < 2.4375, r3, r4))
+    )
+    sign = jnp.where(x < 0, -1.0, 1.0)
+    return jnp.where(small, t0, sign * r_large)
+
+
+def atan2(y, x):
+    """Accurate four-quadrant arctangent."""
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+    if jnp.result_type(y, x) != jnp.float64:
+        return jnp.arctan2(y, x)
+    safe_x = jnp.where(x == 0, 1.0, x)
+    base = atan(jnp.abs(y / safe_x))
+    sign_y = jnp.where(y < 0, -1.0, 1.0)
+    res_xpos = sign_y * base
+    res_xneg = sign_y * ((_PI_HI - base) + _PI_LO)
+    res = jnp.where(x > 0, res_xpos, res_xneg)
+    # x == 0 -> +/- pi/2 (y == 0 handled below)
+    res = jnp.where(x == 0, sign_y * (_PIO2_HI + _PIO2_LO), res)
+    # y == 0: 0 for x >= 0, pi for x < 0 (sign of y ignored for simplicity)
+    res = jnp.where(y == 0, jnp.where(x < 0, _PI_HI, 0.0), res)
+    return res
+
+
+def asin(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.arcsin(x)
+    xc = jnp.clip(x, -1.0, 1.0)
+    return atan2(xc, jnp.sqrt(jnp.maximum(0.0, (1.0 - xc) * (1.0 + xc))))
+
+
+def acos(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.arccos(x)
+    xc = jnp.clip(x, -1.0, 1.0)
+    return atan2(jnp.sqrt(jnp.maximum(0.0, (1.0 - xc) * (1.0 + xc))), xc)

@@ -1,0 +1,177 @@
+"""Hand-eye bundle adjustment (reference: src/estimation/optim/bundle.cpp +
+residuals/bundleresidual.h).
+
+Parameter layout follows BundleBlocks::get_param_blocks
+(bundle.cpp:62-81): [intr_0..intr_C, g_quat_0.., g_tra_0.., b_quat, b_tra].
+The projection chain per observation is
+c_se3_t = (g_se3_c)^-1 (b_se3_g)^-1 b_se3_t (bundleresidual.h:16-29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import PINHOLE, CameraModelSpec
+from ..ops import se3
+from . import blocks, lm
+from .core import OptimOptions, OptimResult, TerminationType, brief_report
+from .manifold import ProductManifold, euclid, quat
+
+
+@dataclasses.dataclass
+class BundleOptions:
+    """Mirrors include/calib/estimation/optim/bundle.h:33-40."""
+
+    core: OptimOptions = dataclasses.field(default_factory=OptimOptions)
+    optimize_intrinsics: bool = False
+    optimize_skew: bool = False
+    optimize_target_pose: bool = True
+    optimize_hand_eye: bool = True
+
+
+def make_manifold(pc: int, c: int) -> ProductManifold:
+    return ProductManifold(
+        [euclid(pc)] * c + [quat()] * c + [euclid(3)] * c + [quat(), euclid(3)]
+    )
+
+
+def unpack(x, pc, c):
+    o = 0
+    intr = x[o : o + c * pc].reshape(c, pc); o += c * pc
+    gq = x[o : o + 4 * c].reshape(c, 4); o += 4 * c
+    gt = x[o : o + 3 * c].reshape(c, 3); o += 3 * c
+    bq = x[o : o + 4]; o += 4
+    bt = x[o : o + 3]
+    return intr, gq, gt, bq, bt
+
+
+def _residual(model, x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c):
+    intr, gq, gt, bq, bt = unpack(x, pc, c)
+    g_se3_c = blocks.quat_tran_to_poses(gq, gt)  # (C, 4, 4)
+    b_se3_t = se3.make_se3(se3.quat_to_rotmat(bq), bt)  # (4, 4)
+    c_se3_b = se3.se3_inverse(g_se3_c[cam_idx]) @ se3.se3_inverse(b_se3_g)  # (O,4,4)
+    c_se3_t = c_se3_b @ b_se3_t[None]
+    pts = jnp.concatenate([obj_xy, jnp.zeros(obj_xy.shape[:-1] + (1,), obj_xy.dtype)], -1)
+    pc3 = jnp.einsum("oij,onj->oni", se3.rot(c_se3_t), pts) + se3.tra(c_se3_t)[:, None, :]
+    uv_hat = model.project(intr[cam_idx][:, None, :], pc3)
+    r = (uv_hat - img_uv) * mask[..., None]
+    return r.reshape(-1)
+
+
+def optimize_bundle_device(
+    obj_xy,
+    img_uv,
+    b_se3_g,
+    cam_idx,
+    init_intrs,
+    init_g_se3_c,
+    init_b_se3_t,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: BundleOptions | None = None,
+):
+    """Pure-jnp core.
+
+    obj_xy/img_uv: (O, N, 2); b_se3_g: (O, 4, 4) constant gripper poses;
+    cam_idx: (O,) int; init_intrs: (C, pc); init_g_se3_c: (C, 4, 4);
+    init_b_se3_t: (4, 4); mask: (O, N).
+    """
+    opts = opts or BundleOptions()
+    o_cnt, n = obj_xy.shape[0], obj_xy.shape[1]
+    c = jnp.asarray(init_intrs).shape[0]
+    pc = model.param_count
+    if mask is None:
+        mask = jnp.ones((o_cnt, n), obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+    cam_idx = jnp.asarray(cam_idx, jnp.int32)
+
+    gq, gt = blocks.poses_to_quat_tran(jnp.asarray(init_g_se3_c))
+    bq = se3.rotmat_to_quat(se3.rot(jnp.asarray(init_b_se3_t)))
+    bt = se3.tra(jnp.asarray(init_b_se3_t))
+    x0 = jnp.concatenate(
+        [jnp.asarray(init_intrs).reshape(-1), gq.reshape(-1), gt.reshape(-1), bq, bt]
+    )
+    manifold = make_manifold(pc, c)
+
+    free = np.ones((x0.shape[0],), bool)
+    o_int, o_gq, o_gt = 0, c * pc, c * pc + 4 * c
+    o_bq, o_bt = c * pc + 7 * c, c * pc + 7 * c + 4
+    if not opts.optimize_target_pose:
+        free[o_bq : o_bt + 3] = False
+    if not opts.optimize_hand_eye:
+        free[o_gq : o_bq] = False
+    if not opts.optimize_intrinsics:
+        free[o_int : o_int + c * pc] = False
+    elif not opts.optimize_skew:
+        for ci in range(c):
+            free[o_int + ci * pc + model.idx_skew] = False
+    free = jnp.asarray(free)
+
+    lower = np.full((x0.shape[0],), -np.inf)
+    if opts.optimize_intrinsics:
+        for ci in range(c):
+            lower[o_int + ci * pc + model.idx_fx] = 0.0
+            lower[o_int + ci * pc + model.idx_fy] = 0.0
+    lower = jnp.asarray(lower)
+
+    block_ids = jnp.repeat(jnp.arange(o_cnt, dtype=jnp.int32), 2 * n)
+    res_fn = lambda x: _residual(model, x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c)
+    out = lm.lm_core(
+        res_fn, x0, manifold, options=opts.core, free_mask=free,
+        block_ids=block_ids, num_blocks=o_cnt, lower=lower,
+    )
+    cov, cov_ok = lm.covariance(res_fn, out.x, manifold, free_mask=free)
+
+    intr, gqf, gtf, bqf, btf = unpack(out.x, pc, c)
+    g_se3_c = blocks.quat_tran_to_poses(gqf, gtf)
+    b_se3_t = se3.make_se3(se3.quat_to_rotmat(bqf), btf)
+    return out, intr, g_se3_c, b_se3_t, cov, cov_ok
+
+
+@dataclasses.dataclass
+class BundleResult:
+    core: OptimResult
+    cameras: np.ndarray  # (C, pc)
+    g_se3_c: np.ndarray  # (C, 4, 4)
+    b_se3_t: np.ndarray  # (4, 4)
+
+
+def optimize_bundle(
+    obj_xy,
+    img_uv,
+    b_se3_g,
+    cam_idx,
+    initial_cameras,
+    init_g_se3_c,
+    init_b_se3_t,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: BundleOptions | None = None,
+):
+    opts = opts or BundleOptions()
+    initial_cameras = jnp.asarray(initial_cameras)
+    if initial_cameras.shape[0] == 0:
+        raise ValueError("No camera intrinsics provided")
+    if jnp.asarray(obj_xy).shape[0] == 0:
+        raise ValueError("No observations provided")
+    out, intr, g_se3_c, b_se3_t, cov, cov_ok = optimize_bundle_device(
+        jnp.asarray(obj_xy), jnp.asarray(img_uv), jnp.asarray(b_se3_g),
+        jnp.asarray(cam_idx), initial_cameras, jnp.asarray(init_g_se3_c),
+        jnp.asarray(init_b_se3_t), mask=mask, model=model, opts=opts,
+    )
+    core = OptimResult(
+        success=bool(out.success),
+        covariance=np.asarray(cov) if (opts.core.compute_covariance and bool(cov_ok)) else None,
+        final_cost=float(out.cost),
+        iterations=int(out.iterations),
+        termination=TerminationType(int(out.termination)),
+        initial_cost=float(out.initial_cost),
+    )
+    core.report = brief_report(core)
+    return BundleResult(
+        core=core, cameras=np.asarray(intr), g_se3_c=np.asarray(g_se3_c),
+        b_se3_t=np.asarray(b_se3_t),
+    )

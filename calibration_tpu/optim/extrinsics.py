@@ -1,0 +1,172 @@
+"""Joint multi-camera extrinsics (+ optional intrinsics) refinement
+(reference: src/estimation/optim/extrinsics.cpp +
+residuals/extrinsicsresidual.h).
+
+Parameter layout follows ExtrinsicBlocks::get_param_blocks order
+(extrinsics.cpp:54-72): [intr_0..intr_C, cam_quat_0.., cam_tran_0..,
+view_quat_0.., view_tran_0..]. Gauge fixing by free-mask
+(extrinsics.cpp:118-139): camera 0 pose constant when optimizing extrinsics;
+target pose 0 constant when optimizing intrinsics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import PINHOLE, CameraModelSpec
+from ..ops import se3
+from . import blocks, lm
+from .core import OptimOptions, OptimResult, TerminationType, brief_report
+from .manifold import ProductManifold, euclid, quat
+
+
+@dataclasses.dataclass
+class ExtrinsicOptions:
+    """Mirrors include/calib/estimation/optim/extrinsics.h:24-30."""
+
+    core: OptimOptions = dataclasses.field(default_factory=OptimOptions)
+    optimize_intrinsics: bool = True
+    optimize_skew: bool = False
+    optimize_extrinsics: bool = True
+
+
+def make_manifold(pc: int, c: int, v: int) -> ProductManifold:
+    return ProductManifold(
+        [euclid(pc)] * c + [quat()] * c + [euclid(3)] * c + [quat()] * v + [euclid(3)] * v
+    )
+
+
+def unpack(x, pc, c, v):
+    o = 0
+    intr = x[o : o + c * pc].reshape(c, pc); o += c * pc
+    cq = x[o : o + 4 * c].reshape(c, 4); o += 4 * c
+    ct = x[o : o + 3 * c].reshape(c, 3); o += 3 * c
+    vq = x[o : o + 4 * v].reshape(v, 4); o += 4 * v
+    vt = x[o : o + 3 * v].reshape(v, 3)
+    return intr, cq, ct, vq, vt
+
+
+def _residual(model, x, obj_xy, img_uv, mask, pc, c, v):
+    intr, cq, ct, vq, vt = unpack(x, pc, c, v)
+    cam_rot = se3.quat_to_rotmat(cq)  # (C, 3, 3)
+    view_rot = se3.quat_to_rotmat(vq)  # (V, 3, 3)
+    # c_se3_t = c_se3_r @ r_se3_t  (extrinsicsresidual.h:17-24)
+    rot_vc = jnp.einsum("cij,vjk->vcik", cam_rot, view_rot)
+    tra_vc = jnp.einsum("cij,vj->vci", cam_rot, vt) + ct[None, :, :]
+    pts = jnp.concatenate([obj_xy, jnp.zeros(obj_xy.shape[:-1] + (1,), obj_xy.dtype)], -1)
+    pc3 = jnp.einsum("vcij,vcnj->vcni", rot_vc, pts) + tra_vc[:, :, None, :]
+    uv_hat = model.project(intr[None, :, None, :], pc3)
+    r = (uv_hat - img_uv) * mask[..., None]
+    return r.reshape(-1)
+
+
+def optimize_extrinsics_device(
+    obj_xy,
+    img_uv,
+    init_intrs,
+    init_c_se3_r,
+    init_r_se3_t,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: ExtrinsicOptions | None = None,
+):
+    """Pure-jnp core. obj_xy/img_uv: (V, C, N, 2); init_intrs: (C, pc);
+    init_c_se3_r: (C, 4, 4); init_r_se3_t: (V, 4, 4); mask: (V, C, N)."""
+    opts = opts or ExtrinsicOptions()
+    v, c, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
+    pc = model.param_count
+    if mask is None:
+        mask = jnp.ones((v, c, n), obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+
+    cq, ct = blocks.poses_to_quat_tran(jnp.asarray(init_c_se3_r))
+    vq, vt = blocks.poses_to_quat_tran(jnp.asarray(init_r_se3_t))
+    x0 = jnp.concatenate(
+        [jnp.asarray(init_intrs).reshape(-1), cq.reshape(-1), ct.reshape(-1),
+         vq.reshape(-1), vt.reshape(-1)]
+    )
+    manifold = make_manifold(pc, c, v)
+
+    free = np.ones((x0.shape[0],), bool)
+    o_int, o_cq, o_ct = 0, c * pc, c * pc + 4 * c
+    o_vq, o_vt = c * pc + 7 * c, c * pc + 7 * c + 4 * v
+    if not opts.optimize_intrinsics:
+        free[o_int : o_int + c * pc] = False
+    else:
+        # gauge: first target pose constant (extrinsics.cpp:124-127)
+        free[o_vq : o_vq + 4] = False
+        free[o_vt : o_vt + 3] = False
+    if not opts.optimize_extrinsics:
+        free[o_cq : o_vq] = False
+    else:
+        # gauge: camera 0 pose constant (extrinsics.cpp:134-138)
+        free[o_cq : o_cq + 4] = False
+        free[o_ct : o_ct + 3] = False
+    if not opts.optimize_skew:
+        for ci in range(c):
+            free[o_int + ci * pc + model.idx_skew] = False
+    free = jnp.asarray(free)
+
+    lower = np.full((x0.shape[0],), -np.inf)
+    for ci in range(c):
+        lower[o_int + ci * pc + model.idx_fx] = 0.0
+        lower[o_int + ci * pc + model.idx_fy] = 0.0
+    lower = jnp.asarray(lower)
+
+    block_ids = jnp.repeat(jnp.arange(v * c, dtype=jnp.int32), 2 * n)
+    res_fn = lambda x: _residual(model, x, obj_xy, img_uv, mask, pc, c, v)
+    out = lm.lm_core(
+        res_fn, x0, manifold, options=opts.core, free_mask=free,
+        block_ids=block_ids, num_blocks=v * c, lower=lower,
+    )
+    cov, cov_ok = lm.covariance(res_fn, out.x, manifold, free_mask=free)
+
+    intr, cqf, ctf, vqf, vtf = unpack(out.x, pc, c, v)
+    c_se3_r = blocks.quat_tran_to_poses(cqf, ctf)
+    r_se3_t = blocks.quat_tran_to_poses(vqf, vtf)
+    return out, intr, c_se3_r, r_se3_t, cov, cov_ok
+
+
+@dataclasses.dataclass
+class ExtrinsicOptimizationResult:
+    core: OptimResult
+    cameras: np.ndarray  # (C, pc)
+    c_se3_r: np.ndarray  # (C, 4, 4)
+    r_se3_t: np.ndarray  # (V, 4, 4)
+
+
+def optimize_extrinsics(
+    obj_xy,
+    img_uv,
+    init_cameras,
+    init_c_se3_r,
+    init_r_se3_t,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: ExtrinsicOptions | None = None,
+):
+    opts = opts or ExtrinsicOptions()
+    init_cameras = jnp.asarray(init_cameras)
+    if init_cameras.shape[0] != jnp.asarray(init_c_se3_r).shape[0]:
+        raise ValueError("Incompatible pose vector sizes for joint optimization")
+    out, intr, c_se3_r, r_se3_t, cov, cov_ok = optimize_extrinsics_device(
+        jnp.asarray(obj_xy), jnp.asarray(img_uv), init_cameras,
+        jnp.asarray(init_c_se3_r), jnp.asarray(init_r_se3_t),
+        mask=mask, model=model, opts=opts,
+    )
+    core = OptimResult(
+        success=bool(out.success),
+        covariance=np.asarray(cov) if (opts.core.compute_covariance and bool(cov_ok)) else None,
+        final_cost=float(out.cost),
+        iterations=int(out.iterations),
+        termination=TerminationType(int(out.termination)),
+        initial_cost=float(out.initial_cost),
+    )
+    core.report = brief_report(core)
+    return ExtrinsicOptimizationResult(
+        core=core, cameras=np.asarray(intr), c_se3_r=np.asarray(c_se3_r),
+        r_se3_t=np.asarray(r_se3_t),
+    )

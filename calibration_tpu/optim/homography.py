@@ -1,0 +1,81 @@
+"""Non-linear homography refinement (reference:
+src/estimation/optim/homography.cpp:75-175): 8 parameters with H22 == 1,
+per-point transfer-error residuals, Huber loss per point block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import homography as H
+from . import lm
+from .core import OptimOptions, OptimResult, TerminationType, brief_report
+from .manifold import ProductManifold, euclid
+
+_MANIFOLD = ProductManifold([euclid(8)])
+
+
+def params_to_h(p):
+    return jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1).reshape(
+        p.shape[:-1] + (3, 3)
+    )
+
+
+def h_to_params(hm):
+    hm = hm / hm[..., 2:3, 2:3]
+    return hm.reshape(hm.shape[:-2] + (9,))[..., :8]
+
+
+def _residual(p, obj_xy, img_uv, mask):
+    hm = params_to_h(p)
+    uv_hat = H.apply_homography(hm, obj_xy)
+    r = (uv_hat - img_uv) * mask[..., None]
+    return r.reshape(r.shape[:-2] + (-1,))
+
+
+def optimize_homography_device(init_h, obj_xy, img_uv, mask=None, options=OptimOptions()):
+    """Pure-jnp core (vmap/shard over problems). Returns (LMOutput, h, cov, cov_ok)."""
+    n = obj_xy.shape[-2]
+    if mask is None:
+        mask = jnp.ones((n,), obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+    x0 = h_to_params(jnp.asarray(init_h))
+    block_ids = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
+
+    res_fn = lambda p: _residual(p, obj_xy, img_uv, mask)
+    out = lm.lm_core(
+        res_fn, x0, _MANIFOLD, options=options, block_ids=block_ids, num_blocks=n
+    )
+    cov, cov_ok = lm.covariance(
+        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=2 * n
+    )
+    return out, params_to_h(out.x), cov, cov_ok
+
+
+@dataclasses.dataclass
+class OptimizeHomographyResult:
+    core: OptimResult
+    homography: np.ndarray
+
+
+def optimize_homography(obj_xy, img_uv, init_h, options: OptimOptions = OptimOptions(), mask=None):
+    """Host-facing wrapper mirroring optimize_homography (homography.cpp:140-175)."""
+    obj_xy = jnp.asarray(obj_xy)
+    if obj_xy.shape[0] < 4:
+        raise ValueError("At least 4 correspondences are required.")
+    out, hm, cov, cov_ok = optimize_homography_device(
+        init_h, obj_xy, jnp.asarray(img_uv), mask=mask, options=options
+    )
+    core = OptimResult(
+        success=bool(out.success),
+        covariance=np.asarray(cov) if (options.compute_covariance and bool(cov_ok)) else None,
+        final_cost=float(out.cost),
+        iterations=int(out.iterations),
+        termination=TerminationType(int(out.termination)),
+        initial_cost=float(out.initial_cost),
+    )
+    core.report = brief_report(core)
+    return OptimizeHomographyResult(core=core, homography=np.asarray(hm))

@@ -1,0 +1,163 @@
+"""Joint intrinsics + per-view pose refinement, generic over camera model
+(reference: src/estimation/optim/intrinsics.cpp + residuals/intrinsicresidual.h).
+
+Parameter layout (covariance-compatible with IntrinsicBlocks order,
+intrinsics.cpp:36-52): [intr(pc), quat_0..quat_V, t_0..t_V]. One Huber block
+per view (one AddResidualBlock per view, intrinsics.cpp:69-76). fx, fy get a
+zero lower bound; skew is frozen unless ``optimize_skew``
+(intrinsics.cpp:78-88).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import CalibrationBounds
+from ..models.registry import PINHOLE, CameraModelSpec
+from ..ops import se3
+from . import blocks, lm
+from .core import OptimOptions, OptimResult, TerminationType, brief_report
+from .manifold import ProductManifold, euclid, quat
+
+
+@dataclasses.dataclass
+class IntrinsicsOptimOptions:
+    """Mirrors include/calib/estimation/optim/intrinsics.h:15-22."""
+
+    core: OptimOptions = dataclasses.field(default_factory=OptimOptions)
+    num_radial: int = 2
+    optimize_skew: bool = False
+    bounds: CalibrationBounds | None = None
+    fixed_distortion_indices: list = dataclasses.field(default_factory=list)
+    fixed_distortion_values: list = dataclasses.field(default_factory=list)
+
+
+def make_manifold(pc: int, num_views: int) -> ProductManifold:
+    return ProductManifold([euclid(pc)] + [quat()] * num_views + [euclid(3)] * num_views)
+
+
+def reproject_residuals(model: CameraModelSpec, intr, quats, trans, obj_xy, img_uv, mask):
+    """(V, N, 2) masked pixel residuals for all views."""
+    rot = se3.quat_to_rotmat(quats)  # (V, 3, 3)
+    pts = jnp.concatenate([obj_xy, jnp.zeros(obj_xy.shape[:-1] + (1,), obj_xy.dtype)], axis=-1)
+    pc3 = jnp.einsum("vij,vnj->vni", rot, pts) + trans[:, None, :]
+    uv_hat = model.project(intr[None, None, :], pc3)
+    return (uv_hat - img_uv) * mask[..., None]
+
+
+def _residual_flat(model, x, obj_xy, img_uv, mask, pc, v):
+    intr, quats, trans = blocks.unpack_intr_quats_trans(x, pc, v)
+    r = reproject_residuals(model, intr, quats, trans, obj_xy, img_uv, mask)
+    return r.reshape(-1)
+
+
+def _bounds_vectors(pc, v, model, opts: IntrinsicsOptimOptions, dtype):
+    lower = jnp.full((pc + 7 * v,), -jnp.inf, dtype)
+    lower = lower.at[model.idx_fx].set(0.0).at[model.idx_fy].set(0.0)
+    return lower, None
+
+
+def optimize_intrinsics_device(
+    obj_xy,
+    img_uv,
+    init_intr,
+    init_poses,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: IntrinsicsOptimOptions | None = None,
+):
+    """Pure-jnp core. obj_xy/img_uv: (V, N, 2); init_intr: (pc,);
+    init_poses: (V, 4, 4); mask: (V, N)."""
+    opts = opts or IntrinsicsOptimOptions()
+    v, n = obj_xy.shape[0], obj_xy.shape[1]
+    pc = model.param_count
+    if mask is None:
+        mask = jnp.ones((v, n), obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+
+    quats, trans = blocks.poses_to_quat_tran(jnp.asarray(init_poses))
+    x0 = blocks.pack_intr_quats_trans(jnp.asarray(init_intr), quats, trans)
+    manifold = make_manifold(pc, v)
+
+    free = np.ones((pc + 7 * v,), bool)
+    if not opts.optimize_skew:
+        free[model.idx_skew] = False
+    free = jnp.asarray(free)
+
+    lower, upper = _bounds_vectors(pc, v, model, opts, x0.dtype)
+    block_ids = jnp.repeat(jnp.arange(v, dtype=jnp.int32), 2 * n)
+
+    res_fn = lambda x: _residual_flat(model, x, obj_xy, img_uv, mask, pc, v)
+    out = lm.lm_core(
+        res_fn,
+        x0,
+        manifold,
+        options=opts.core,
+        free_mask=free,
+        block_ids=block_ids,
+        num_blocks=v,
+        lower=lower,
+        upper=upper,
+    )
+    cov, cov_ok = lm.covariance(res_fn, out.x, manifold, free_mask=free)
+
+    intr, quats_f, trans_f = blocks.unpack_intr_quats_trans(out.x, pc, v)
+    poses = blocks.quat_tran_to_poses(quats_f, trans_f)
+    r = reproject_residuals(model, intr, quats_f, trans_f, obj_xy, img_uv, mask)
+    cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    view_errors = jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)) / (2.0 * cnt))
+    return out, intr, poses, view_errors, cov, cov_ok
+
+
+@dataclasses.dataclass
+class IntrinsicsOptimizationResult:
+    core: OptimResult
+    camera: np.ndarray  # flat intrinsics (model packing)
+    c_se3_t: np.ndarray  # (V, 4, 4)
+    view_errors: np.ndarray
+
+
+def optimize_intrinsics(
+    obj_xy,
+    img_uv,
+    init_intr,
+    init_c_se3_t,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: IntrinsicsOptimOptions | None = None,
+):
+    """Host-facing wrapper (optimize_intrinsics, intrinsics.cpp:99-120).
+
+    Requires >= 4 views (intrinsics.cpp:94-97).
+    """
+    opts = opts or IntrinsicsOptimOptions()
+    obj_xy = jnp.asarray(obj_xy)
+    if obj_xy.shape[0] < 4:
+        raise ValueError("Insufficient views for calibration (at least 4 required).")
+    out, intr, poses, view_errors, cov, cov_ok = optimize_intrinsics_device(
+        obj_xy,
+        jnp.asarray(img_uv),
+        jnp.asarray(init_intr),
+        jnp.asarray(init_c_se3_t),
+        mask=mask,
+        model=model,
+        opts=opts,
+    )
+    core = OptimResult(
+        success=bool(out.success),
+        covariance=np.asarray(cov) if (opts.core.compute_covariance and bool(cov_ok)) else None,
+        final_cost=float(out.cost),
+        iterations=int(out.iterations),
+        termination=TerminationType(int(out.termination)),
+        initial_cost=float(out.initial_cost),
+    )
+    core.report = brief_report(core)
+    return IntrinsicsOptimizationResult(
+        core=core,
+        camera=np.asarray(intr),
+        c_se3_t=np.asarray(poses),
+        view_errors=np.asarray(view_errors),
+    )

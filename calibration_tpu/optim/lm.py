@@ -1,0 +1,266 @@
+"""From-scratch Levenberg-Marquardt engine — the Ceres replacement.
+
+One pure-jnp function (`lm_core`) runs the damped normal-equation iteration
+under ``lax.while_loop``: jacfwd autodiff Jacobians in the manifold tangent
+space, Huber IRLS weighting per residual block, diagonal (Marquardt) damping
+with the Nielsen mu-update, box-bound projection, and free-mask gauge/subset
+fixing. Everything is fixed-shape, so whole batches of problems vmap and
+shard across a device mesh.
+
+Replaces ceres::Solve as configured by the reference
+(src/estimation/detail/ceresutils.h:21-43): function/gradient/parameter
+tolerances all = OptimOptions.epsilon, success iff converged by tolerance.
+Covariance = scaled inverse JtJ lifted to ambient coordinates
+(ceresutils.h:69-126).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core import OptimOptions
+from .manifold import ProductManifold
+
+_MU_INIT = 1e-4
+_MU_MIN = 1e-32
+_MU_MAX = 1e32
+
+
+class LMState(NamedTuple):
+    x: jnp.ndarray  # ambient params
+    mu: jnp.ndarray  # damping
+    nu: jnp.ndarray  # damping growth factor
+    cost: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    termination: jnp.ndarray  # TerminationType code
+    grad_max: jnp.ndarray
+
+
+class LMOutput(NamedTuple):
+    x: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    termination: jnp.ndarray  # 0 no-conv, 1 ftol, 2 gtol, 3 xtol, 4 failure
+    success: jnp.ndarray
+
+
+def _robust_weights(r, block_ids, num_blocks, huber_delta):
+    """Huber IRLS weights per residual block.
+
+    Ceres applies the loss to each residual block's squared norm
+    (rho(|r_b|^2), one HuberLoss per AddResidualBlock). IRLS weight is
+    rho'(s): 1 inside the delta ball, delta/|r_b| outside. Returns
+    (row_weights (m,), robust_cost = 0.5 * sum rho(s_b))."""
+    s = jax.ops.segment_sum(r * r, block_ids, num_segments=num_blocks)
+    d2 = huber_delta * huber_delta
+    out = s > d2
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-300))
+    wb = jnp.where(out, huber_delta / sqrt_s, 1.0)
+    rho = jnp.where(out, 2.0 * huber_delta * sqrt_s - d2, s)
+    return wb[block_ids], 0.5 * jnp.sum(rho)
+
+
+def _plain_cost(r):
+    return 0.5 * jnp.sum(r * r)
+
+
+def lm_core(
+    residual_fn: Callable,
+    x0,
+    manifold: ProductManifold,
+    *,
+    options: OptimOptions = OptimOptions(),
+    free_mask=None,
+    block_ids=None,
+    num_blocks: int = 0,
+    lower=None,
+    upper=None,
+) -> LMOutput:
+    """Minimize 0.5 * sum rho(|r|^2) over the manifold.
+
+    Args:
+      residual_fn: ambient params -> (m,) residuals (masked rows must be
+        zeroed by the caller; zero rows are invisible to the normal
+        equations).
+      x0: (ambient_dim,) initial ambient parameters.
+      manifold: parameter-block structure.
+      free_mask: optional (ambient_dim,) bool; False coordinates are frozen
+        (SubsetManifold / SetParameterBlockConstant / gauge fixing).
+      block_ids: optional (m,) int32 robust-loss block id per residual row
+        (the AddResidualBlock granularity). None => single block when
+        huber_delta > 0.
+      num_blocks: static count of robust-loss blocks.
+      lower/upper: optional (ambient_dim,) box bounds, enforced by projection
+        after each retract (SetParameterLowerBound equivalent).
+    """
+    eps = options.epsilon
+    huber = options.huber_delta
+    tdim = manifold.tangent_dim
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+
+    if free_mask is None:
+        tan_free = jnp.ones((tdim,), dtype)
+    else:
+        tan_free = manifold.ambient_to_tangent_mask(jnp.asarray(free_mask)).astype(dtype)
+
+    def clip_x(x):
+        if lower is not None:
+            x = jnp.maximum(x, jnp.asarray(lower, dtype))
+        if upper is not None:
+            x = jnp.minimum(x, jnp.asarray(upper, dtype))
+        return x
+
+    use_huber = huber > 0
+
+    def cost_at(x):
+        r = residual_fn(x)
+        if use_huber and block_ids is not None:
+            _, c = _robust_weights(r, block_ids, num_blocks, huber)
+            return c
+        if use_huber:
+            ids = jnp.zeros(r.shape, jnp.int32)
+            _, c = _robust_weights(r, ids, 1, huber)
+            return c
+        return _plain_cost(r)
+
+    def residual_and_jac(x):
+        zero = jnp.zeros((tdim,), dtype)
+        rt = lambda d: residual_fn(clip_x(manifold.retract(x, d)))
+        r = rt(zero)
+        jac = jax.jacfwd(rt)(zero)  # (m, tdim)
+        return r, jac
+
+    x_init = clip_x(x0)
+    cost0 = cost_at(x_init)
+
+    def weighted(r, jac):
+        if use_huber:
+            ids = block_ids if block_ids is not None else jnp.zeros(r.shape, jnp.int32)
+            nb = num_blocks if block_ids is not None else 1
+            w, _ = _robust_weights(r, ids, nb, huber)
+            sw = jnp.sqrt(w)
+            return r * sw, jac * sw[:, None]
+        return r, jac
+
+    def step(state: LMState) -> LMState:
+        x, mu, nu = state.x, state.mu, state.nu
+        r, jac = residual_and_jac(x)
+        rw, jw = weighted(r, jac)
+        jw = jw * tan_free[None, :]
+        g = jw.T @ rw
+        a = jw.T @ jw
+
+        grad_max = jnp.max(jnp.abs(g))
+        gtol_hit = grad_max <= eps
+
+        diag = jnp.clip(jnp.diagonal(a), 1e-12, 1e32) * tan_free + (1.0 - tan_free)
+        sys = a + mu * jnp.diag(diag) + jnp.diag(1.0 - tan_free)
+        delta = -jnp.linalg.solve(sys, g)
+        delta = delta * tan_free
+        delta_ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(delta_ok, delta, 0.0)
+
+        x_norm = jnp.linalg.norm(x)
+        step_norm = jnp.linalg.norm(delta)
+        xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
+
+        x_new = clip_x(manifold.retract(x, delta))
+        cost_new = cost_at(x_new)
+        pred = 0.5 * jnp.dot(delta, mu * diag * delta - g)
+        rho = (state.cost - cost_new) / jnp.where(pred > 0, pred, 1e-300)
+        accept = delta_ok & jnp.isfinite(cost_new) & (rho > 0) & (pred > 0)
+
+        ftol_hit = accept & (jnp.abs(state.cost - cost_new) <= eps * state.cost)
+
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_acc = jnp.clip(mu * factor, _MU_MIN, _MU_MAX)
+        mu_rej = jnp.clip(mu * nu, _MU_MIN, _MU_MAX)
+
+        x_out = jnp.where(accept, x_new, x)
+        cost_out = jnp.where(accept, cost_new, state.cost)
+        mu_out = jnp.where(accept, mu_acc, mu_rej)
+        nu_out = jnp.where(accept, 2.0, nu * 2.0)
+
+        term = jnp.where(
+            gtol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(ftol_hit, 1, 0))
+        ).astype(jnp.int32)
+        done = term > 0
+        return LMState(
+            x_out, mu_out, nu_out, cost_out, state.it + 1, done, term, grad_max
+        )
+
+    def cond(state: LMState):
+        return (~state.done) & (state.it < options.max_iterations)
+
+    init = LMState(
+        x=x_init,
+        mu=jnp.asarray(_MU_INIT, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        cost=cost0,
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        termination=jnp.asarray(0, jnp.int32),
+        grad_max=jnp.asarray(jnp.inf, dtype),
+    )
+    final = jax.lax.while_loop(cond, step, init)
+    success = final.termination > 0
+    return LMOutput(
+        x=final.x,
+        cost=final.cost,
+        initial_cost=cost0,
+        iterations=final.it,
+        termination=final.termination,
+        success=success,
+    )
+
+
+def covariance(
+    residual_fn: Callable,
+    x,
+    manifold: ProductManifold,
+    *,
+    free_mask=None,
+    scale_by_variance: bool = False,
+    num_residuals: Optional[int] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ambient-space covariance at the solution (ceresutils.h:69-126).
+
+    C_tangent = (J^T J)^-1 on free dims; lifted C_ambient = D C_t D^T with D
+    the retract jacobian — matching Ceres' manifold-lifted covariance blocks.
+    When ``scale_by_variance`` (homography / planar-pose paths,
+    src/estimation/optim/homography.cpp:160-168), multiplies by
+    ssr / max(1, m - n) with n = total *ambient* parameter count, exactly as
+    ceresutils.h:117-123.
+
+    Returns (cov (ambient, ambient), ok).
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype
+    tdim = manifold.tangent_dim
+    if free_mask is None:
+        tan_free = jnp.ones((tdim,), dtype)
+    else:
+        tan_free = manifold.ambient_to_tangent_mask(jnp.asarray(free_mask)).astype(dtype)
+
+    zero = jnp.zeros((tdim,), dtype)
+    rt = lambda d: residual_fn(manifold.retract(x, d))
+    r = rt(zero)
+    jac = jax.jacfwd(rt)(zero) * tan_free[None, :]
+    a = jac.T @ jac + jnp.diag(1.0 - tan_free)
+    c_t = jnp.linalg.inv(a)
+    c_t = c_t * tan_free[:, None] * tan_free[None, :]
+    d = manifold.lift_jacobian(x)
+    cov = d @ c_t @ d.T
+    ok = jnp.all(jnp.isfinite(cov))
+    if scale_by_variance:
+        m = num_residuals if num_residuals is not None else r.shape[0]
+        ssr = jnp.sum(r * r)
+        dof = max(1, int(m) - manifold.ambient_dim)
+        cov = cov * (ssr / dof)
+    return cov, ok
