@@ -1,0 +1,261 @@
+"""Planar intrinsics calibration facade (reference:
+include/calib/pipeline/facades/intrinsics.h + src/pipeline/facades/intrinsics.cpp).
+
+Flow (facades/intrinsics.cpp:80-151): min-corner view gating -> linear Zhang
+estimate (warnings counted) -> per-view pose init -> LM refinement with
+zero-initialised distortion, falling back to the linear K when the refine
+does not converge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...io import jsonio
+from ...models import CalibrationBounds, pinhole
+from ...ops import intrinsics_linear, planarpose, ransac as ransac_mod
+from ...optim import IntrinsicsOptimOptions, IntrinsicsOptimizationResult, optimize_intrinsics
+from ..dataset import PlanarDetections
+from ..planar_utils import make_planar_arrays, pad_views
+
+
+@dataclasses.dataclass
+class RansacConfig:
+    """JSON-facing RansacOptions (ransac.h:22-29)."""
+
+    max_iters: int = 1000
+    thresh: float = 2.0
+    min_inliers: int = 12
+    confidence: float = 0.99
+    seed: int = 1234567
+    refit_on_inliers: bool = True
+
+    def to_options(self) -> ransac_mod.RansacOptions:
+        return ransac_mod.RansacOptions(
+            max_iters=self.max_iters, thresh=self.thresh, min_inliers=self.min_inliers,
+            confidence=self.confidence, seed=self.seed, refit_on_inliers=self.refit_on_inliers,
+        )
+
+
+@dataclasses.dataclass
+class IntrinsicsEstimConfig:
+    """IntrinsicsEstimOptions (estimation/linear/intrinsics.h:26-31)."""
+
+    bounds: Optional[CalibrationBounds] = None
+    homography_ransac: Optional[RansacConfig] = None
+    use_skew: bool = False
+
+
+@dataclasses.dataclass
+class IntrinsicCalibrationOptions:
+    """facades/intrinsics.h:25-30."""
+
+    optim_options: IntrinsicsOptimOptions = dataclasses.field(default_factory=IntrinsicsOptimOptions)
+    estim_options: IntrinsicsEstimConfig = dataclasses.field(default_factory=IntrinsicsEstimConfig)
+    min_corners_per_view: int = 80
+    refine: bool = True
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    """facades/intrinsics.h:32-36."""
+
+    camera_id: str = ""
+    model: str = "pinhole_brown_conrady"
+    image_size: Optional[List[int]] = None
+
+
+@dataclasses.dataclass
+class IntrinsicCalibrationConfig:
+    """facades/intrinsics.h:41-45."""
+
+    algorithm: str = "planar"
+    options: IntrinsicCalibrationOptions = dataclasses.field(
+        default_factory=IntrinsicCalibrationOptions
+    )
+    cameras: List[CameraConfig] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class ActiveView:
+    """facades/intrinsics.h:47-50."""
+
+    source_image: str = ""
+    corner_count: int = 0
+
+
+@dataclasses.dataclass
+class IntrinsicCalibrationOutputs:
+    """facades/intrinsics.h:52-64."""
+
+    linear_kmtx: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(5))
+    linear_view_indices: List[int] = dataclasses.field(default_factory=list)
+    refine_result: Optional[IntrinsicsOptimizationResult] = None
+    active_views: List[ActiveView] = dataclasses.field(default_factory=list)
+    total_input_views: int = 0
+    accepted_views: int = 0
+    used_views: int = 0
+    total_points_used: int = 0
+    min_corner_threshold: int = 0
+    invalid_k_warnings: int = 0
+    pose_warnings: int = 0
+
+    @property
+    def camera(self) -> np.ndarray:
+        """Refined flat pinhole intrinsics (10,)."""
+        return self.refine_result.camera
+
+
+def bounds_from_image_size(image_size) -> CalibrationBounds:
+    """Heuristic parameter box from image dims (facades/intrinsics.cpp:61-78)."""
+    width, height = float(image_size[0]), float(image_size[1])
+    short_side, long_side = min(width, height), max(width, height)
+    skew_limit = 0.05 * long_side
+    return CalibrationBounds(
+        fx_min=max(1.0, 0.25 * short_side), fx_max=float(np.finfo(np.float64).max),
+        fy_min=max(1.0, 0.25 * short_side), fy_max=float(np.finfo(np.float64).max),
+        cx_min=0.05 * width, cx_max=0.95 * width,
+        cy_min=0.05 * height, cy_max=0.95 * height,
+        skew_min=-skew_limit, skew_max=skew_limit,
+    )
+
+
+def collect_planar_views(
+    detections: PlanarDetections, opts: IntrinsicCalibrationOptions
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[ActiveView]]:
+    """Min-corner gating (facades/intrinsics.cpp:38-59). Returns padded
+    (obj, uv, mask) + active view descriptors."""
+    raw = []
+    active: List[ActiveView] = []
+    for img in detections.images:
+        if len(img.points) < opts.min_corners_per_view:
+            continue
+        raw.append(make_planar_arrays(img))
+        active.append(ActiveView(img.file, len(img.points)))
+    obj, uv, mask = pad_views(raw)
+    return obj, uv, mask, active
+
+
+class PlanarIntrinsicCalibrationFacade:
+    """facades/intrinsics.cpp:80-151."""
+
+    def calibrate(
+        self,
+        cfg: IntrinsicCalibrationConfig,
+        cam_cfg: CameraConfig,
+        detections: PlanarDetections,
+    ) -> IntrinsicCalibrationOutputs:
+        import jax.numpy as jnp
+
+        out = IntrinsicCalibrationOutputs()
+        out.total_input_views = len(detections.images)
+        out.min_corner_threshold = cfg.options.min_corners_per_view
+
+        obj, uv, mask, active = collect_planar_views(detections, cfg.options)
+        out.accepted_views = len(active)
+        if len(active) < 4:
+            raise RuntimeError(
+                f"Need at least 4 views with >= {cfg.options.min_corners_per_view} corners. "
+                f"Only {len(active)} usable views."
+            )
+
+        bounds = cfg.options.estim_options.bounds
+        if bounds is None and cam_cfg.image_size is not None:
+            bounds = bounds_from_image_size(cam_cfg.image_size)
+
+        # optional RANSAC pre-filter per view (homography_ransac option)
+        view_mask = jnp.asarray(mask)
+        if cfg.options.estim_options.homography_ransac is not None:
+            ropts = cfg.options.estim_options.homography_ransac.to_options()
+            new_mask = np.asarray(mask).copy()
+            for v in range(obj.shape[0]):
+                rr = ransac_mod.ransac_homography(
+                    jnp.asarray(obj[v]), jnp.asarray(uv[v]), ropts, mask=jnp.asarray(mask[v])
+                )
+                if bool(rr.success):
+                    new_mask[v] = np.asarray(rr.inlier_mask)
+            view_mask = jnp.asarray(new_mask)
+
+        linear = intrinsics_linear.estimate_intrinsics(
+            jnp.asarray(obj), jnp.asarray(uv), view_mask, bounds=bounds
+        )
+        # warning counts come back as flags, not captured cerr text
+        out.pose_warnings = int(np.sum(~np.asarray(
+            planarpose.pose_from_homography_pixel(linear.kmtx, linear.homographies)[3]
+        )))
+        out.invalid_k_warnings = 0 if bool(linear.ok) else 1
+        if not bool(linear.ok):
+            raise RuntimeError("Linear intrinsic estimation failed to converge.")
+
+        out.linear_kmtx = np.asarray(linear.kmtx)
+        out.linear_view_indices = [int(i) for i in np.where(np.asarray(linear.h_ok))[0]]
+
+        init_intr = pinhole.pack(linear.kmtx, jnp.zeros(5))
+        if cfg.options.refine:
+            init_poses = planarpose.estimate_planar_pose(
+                jnp.asarray(obj), jnp.asarray(uv),
+                jnp.broadcast_to(linear.kmtx, (obj.shape[0], 5)), view_mask,
+            )
+            refine = optimize_intrinsics(
+                obj, uv, init_intr, init_poses, mask=view_mask,
+                opts=cfg.options.optim_options,
+            )
+            if not refine.core.success:
+                print(
+                    "Warning: Non-linear refinement did not converge. Using linear result.",
+                    file=sys.stderr,
+                )
+                refine.camera = np.asarray(init_intr)
+        else:
+            from ...optim.core import OptimResult
+
+            refine = IntrinsicsOptimizationResult(
+                core=OptimResult(success=True),
+                camera=np.asarray(init_intr),
+                c_se3_t=np.zeros((0, 4, 4)),
+                view_errors=np.zeros((0,)),
+            )
+
+        out.refine_result = refine
+        out.active_views = active
+        out.used_views = len(active)
+        out.total_points_used = int(sum(a.corner_count for a in active))
+        return out
+
+
+def load_calibration_config(path) -> Optional[IntrinsicCalibrationConfig]:
+    """facades/intrinsics.cpp:183-199."""
+    try:
+        raw = json.loads(Path(path).read_text())
+        return jsonio.from_jsonable(raw, IntrinsicCalibrationConfig)
+    except Exception as e:  # noqa: BLE001 — parity with catch-all
+        print(f"Failed to load calibration config from {path}: {e}", file=sys.stderr)
+        return None
+
+
+def print_calibration_summary(out, cam_cfg: CameraConfig, outputs: IntrinsicCalibrationOutputs):
+    """facades/intrinsics.cpp:153-181."""
+    k = outputs.linear_kmtx
+    print(f"== Camera {cam_cfg.camera_id} ==", file=out)
+    if outputs.invalid_k_warnings or outputs.pose_warnings:
+        print(
+            f"Linear stage warnings: {outputs.invalid_k_warnings} invalid camera matrices, "
+            f"{outputs.pose_warnings} homography decompositions",
+            file=out,
+        )
+    print(f"Initial fx/fy/cx/cy: {k[0]}, {k[1]}, {k[2]}, {k[3]}", file=out)
+    r = outputs.refine_result.camera
+    print(f"Refined fx/fy/cx/cy: {r[0]}, {r[1]}, {r[2]}, {r[3]}", file=out)
+    print(f"Distortion coeffs: {np.asarray(r[5:])}", file=out)
+    print(
+        f"Views considered: {outputs.total_input_views}, after threshold: {outputs.accepted_views}",
+        file=out,
+    )
+    errs = " ".join(str(e) for e in np.asarray(outputs.refine_result.view_errors))
+    print(f"Per-view RMS (px): {errs}", file=out)

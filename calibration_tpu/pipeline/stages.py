@@ -1,0 +1,563 @@
+"""Pipeline stages (reference: include/calib/pipeline/stages.h +
+src/pipeline/stages/{intrinsic,stereo,handeye,bundle}_stage.cpp).
+
+Status strings, summary structure, artifact layout and the
+ok/partial_success/failed aggregation rules mirror the reference so report
+consumers see the same JSON.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..io import jsonio
+from ..ops import handeye_linear, planarpose, se3
+from ..optim import estimate_and_optimize_handeye, optimize_bundle
+from .facades.extrinsics import StereoCalibrationFacade
+from .facades.intrinsics import PlanarIntrinsicCalibrationFacade
+from .pipeline import CalibrationStage, PipelineContext, PipelineStageResult
+from .planar_utils import (
+    build_sensor_index,
+    find_camera_config,
+    find_handeye_rig,
+    make_planar_arrays,
+    pad_views,
+)
+from .reports import build_camera_report
+
+
+def _pose_json(m) -> list:
+    return np.asarray(m).tolist()
+
+
+class IntrinsicStage(CalibrationStage):
+    """stages.h:7-11 + intrinsic_stage.cpp."""
+
+    def name(self) -> str:
+        return "intrinsics"
+
+    def run(self, context: PipelineContext) -> PipelineStageResult:
+        result = PipelineStageResult(name=self.name())
+        if not context.has_intrinsics_config():
+            result.summary["error"] = "No intrinsics configuration supplied."
+            return result
+        if not context.dataset.planar_cameras:
+            result.summary["error"] = "Dataset does not contain planar camera captures."
+            return result
+
+        cfg = context.intrinsics_config()
+        facade = PlanarIntrinsicCalibrationFacade()
+        overall = True
+        cameras = []
+        for detections in context.dataset.planar_cameras:
+            sensor_id = detections.sensor_id or "cam0"
+            cam_cfg = find_camera_config(cfg, sensor_id)
+            if cam_cfg is None:
+                cameras.append({"sensor_id": sensor_id, "status": "missing_camera_config"})
+                overall = False
+                continue
+            try:
+                run = facade.calibrate(cfg, cam_cfg, detections)
+                context.intrinsic_results[sensor_id] = run
+                entry = build_camera_report(cam_cfg, detections, run)
+                entry["sensor_id"] = sensor_id
+                entry["tags"] = sorted(detections.tags)
+                cameras.append(entry)
+            except Exception as ex:  # noqa: BLE001 — parity (intrinsic_stage.cpp:46-49)
+                cameras.append(
+                    {"sensor_id": sensor_id, "status": "calibration_failed", "error": str(ex)}
+                )
+                overall = False
+
+        has_synth = any("synthetic" in d.tags for d in context.dataset.planar_cameras)
+        has_recorded = any("recorded" in d.tags for d in context.dataset.planar_cameras)
+        result.summary["cameras"] = cameras
+        result.summary["gating"] = {"synthetic": has_synth, "recorded": has_recorded}
+        result.success = overall and bool(context.intrinsic_results)
+        return result
+
+
+class StereoCalibrationStage(CalibrationStage):
+    """stereo_stage.cpp:25-164."""
+
+    def name(self) -> str:
+        return "stereo"
+
+    def run(self, context: PipelineContext) -> PipelineStageResult:
+        result = PipelineStageResult(name=self.name())
+        result.summary["input_cameras"] = len(context.intrinsic_results)
+        if not context.has_stereo_config():
+            result.summary["status"] = "missing_config"
+            return result
+        if len(context.intrinsic_results) < 2:
+            result.summary["status"] = "waiting_for_multiple_intrinsic_results"
+            return result
+
+        cfg = context.stereo_config()
+        result.summary["requested_pairs"] = len(cfg.pairs)
+        if not cfg.pairs:
+            result.summary["status"] = "no_pairs_configured"
+            return result
+
+        detections_by_sensor = {
+            d.sensor_id: d for d in context.dataset.planar_cameras if d.sensor_id
+        }
+        stereo_artifacts = context.artifacts.setdefault("stereo", {})
+        stereo_artifacts["pairs"] = {}
+        context.stereo_results.clear()
+
+        facade = StereoCalibrationFacade()
+        pairs_summary = []
+        all_success, any_success = True, False
+
+        for pair_cfg in cfg.pairs:
+            pj = {
+                "pair_id": pair_cfg.pair_id,
+                "reference_sensor": pair_cfg.reference_sensor,
+                "target_sensor": pair_cfg.target_sensor,
+                "requested_views": len(pair_cfg.views),
+            }
+            ref_intr = context.intrinsic_results.get(pair_cfg.reference_sensor)
+            tgt_intr = context.intrinsic_results.get(pair_cfg.target_sensor)
+            if ref_intr is None or tgt_intr is None:
+                missing = [
+                    s
+                    for s, r in [
+                        (pair_cfg.reference_sensor, ref_intr),
+                        (pair_cfg.target_sensor, tgt_intr),
+                    ]
+                    if r is None
+                ]
+                pj.update(status="missing_intrinsics", missing=missing, success=False)
+                all_success = False
+                pairs_summary.append(pj)
+                continue
+            ref_det = detections_by_sensor.get(pair_cfg.reference_sensor)
+            tgt_det = detections_by_sensor.get(pair_cfg.target_sensor)
+            if ref_det is None or tgt_det is None:
+                missing = [
+                    s
+                    for s, r in [
+                        (pair_cfg.reference_sensor, ref_det),
+                        (pair_cfg.target_sensor, tgt_det),
+                    ]
+                    if r is None
+                ]
+                pj.update(status="missing_detections", missing=missing, success=False)
+                all_success = False
+                pairs_summary.append(pj)
+                continue
+
+            try:
+                pr = facade.calibrate(pair_cfg, ref_det, tgt_det, ref_intr, tgt_intr)
+                pj["views"] = [jsonio.to_jsonable(v) for v in pr.view_summaries]
+                pj["used_views"] = pr.used_views
+                pj["success"] = pr.success
+                pj["status"] = "ok" if pr.success else "failed"
+                if pr.optimization is not None:
+                    pj["final_cost"] = pr.optimization.core.final_cost
+                if pr.success:
+                    any_success = True
+                    context.stereo_results[pair_cfg.pair_id] = pr.optimization
+                else:
+                    all_success = False
+                artifact = {
+                    "initial_guess": {
+                        "c_se3_r": [_pose_json(m) for m in pr.initial_guess.c_se3_r],
+                        "r_se3_t": [_pose_json(m) for m in pr.initial_guess.r_se3_t],
+                    },
+                    "views": pj.get("views", []),
+                }
+                if pr.optimization is not None:
+                    artifact["optimization"] = {
+                        "success": pr.optimization.core.success,
+                        "final_cost": pr.optimization.core.final_cost,
+                        "report": pr.optimization.core.report,
+                        "cameras": [c.tolist() for c in pr.optimization.cameras],
+                        "c_se3_r": [_pose_json(m) for m in pr.optimization.c_se3_r],
+                        "r_se3_t": [_pose_json(m) for m in pr.optimization.r_se3_t],
+                    }
+                    artifact["final_cost"] = pr.optimization.core.final_cost
+                stereo_artifacts["pairs"][pair_cfg.pair_id] = artifact
+            except Exception as ex:  # noqa: BLE001 — parity (stereo_stage.cpp:141-146)
+                pj.update(status="calibration_error", error=str(ex), success=False)
+                all_success = False
+            pairs_summary.append(pj)
+
+        result.summary["pairs"] = pairs_summary
+        result.summary["status"], result.success = _aggregate(any_success, all_success)
+        return result
+
+
+def _aggregate(any_success: bool, all_success: bool):
+    if any_success and all_success:
+        return "ok", True
+    if any_success:
+        return "partial_success", False
+    return "failed", False
+
+
+class HandEyeCalibrationStage(CalibrationStage):
+    """handeye_stage.cpp:34-224."""
+
+    def name(self) -> str:
+        return "hand_eye"
+
+    def run(self, context: PipelineContext) -> PipelineStageResult:
+        import jax.numpy as jnp
+
+        result = PipelineStageResult(name=self.name())
+        if not context.intrinsic_results:
+            result.summary["status"] = "waiting_for_intrinsic_stage"
+            return result
+        if not context.has_handeye_config():
+            result.summary["status"] = "missing_config"
+            return result
+        cfg = context.handeye_config()
+        if not cfg.rigs:
+            result.summary["status"] = "no_rigs_configured"
+            return result
+
+        sensor_index = build_sensor_index(context.dataset.planar_cameras)
+        context.handeye_results.clear()
+        he_artifacts = context.artifacts.setdefault("hand_eye", {})
+
+        overall, any_success = True, False
+        rigs_json = []
+        for rig in cfg.rigs:
+            rig_json = {
+                "rig_id": rig.rig_id,
+                "sensor_count": len(rig.sensors),
+                "min_angle_deg": rig.min_angle_deg,
+            }
+            rig_artifact = he_artifacts.setdefault(rig.rig_id, {})
+            rig_artifact["min_angle_deg"] = rig.min_angle_deg
+            rig_artifact["options"] = jsonio.to_jsonable(rig.options)
+            sensors_artifact = rig_artifact.setdefault("sensors", {})
+
+            sensors_json = []
+            rig_success, rig_any = True, False
+            for sensor_id in rig.sensors:
+                sj = {
+                    "sensor_id": sensor_id,
+                    "requested_observations": len(rig.observations),
+                    "min_angle_deg": rig.min_angle_deg,
+                }
+                intr = context.intrinsic_results.get(sensor_id)
+                if intr is None:
+                    sj["status"] = "missing_intrinsics"
+                    rig_success = False
+                    sensors_json.append(sj)
+                    sensors_artifact[sensor_id] = sj
+                    continue
+                det_index = sensor_index.get(sensor_id)
+                if det_index is None:
+                    sj["status"] = "missing_detections"
+                    rig_success = False
+                    sensors_json.append(sj)
+                    sensors_artifact[sensor_id] = sj
+                    continue
+
+                camera = intr.refine_result.camera
+                view_reports = []
+                base_acc, cam_acc = [], []
+                for view_cfg in rig.observations:
+                    vj = {}
+                    if view_cfg.view_id:
+                        vj["id"] = view_cfg.view_id
+                    vj["base_pose"] = _pose_json(view_cfg.base_se3_gripper)
+                    fname = view_cfg.images.get(sensor_id)
+                    if fname is None:
+                        vj["status"] = "missing_image_reference"
+                        view_reports.append(vj)
+                        continue
+                    img = det_index.image_lookup.get(fname)
+                    if img is None:
+                        vj["status"] = "image_not_in_dataset"
+                        view_reports.append(vj)
+                        continue
+                    obj, uv = make_planar_arrays(img)
+                    vj["points"] = obj.shape[0]
+                    if obj.shape[0] < 4:
+                        vj["status"] = "insufficient_points"
+                        view_reports.append(vj)
+                        continue
+                    pose = planarpose.estimate_planar_pose(
+                        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(camera[:5])
+                    )
+                    base_acc.append(np.asarray(view_cfg.base_se3_gripper))
+                    cam_acc.append(np.asarray(pose))
+                    vj["status"] = "ok"
+                    view_reports.append(vj)
+
+                sj["used_observations"] = len(cam_acc)
+                sj["views"] = view_reports
+                if len(cam_acc) < 2:
+                    sj["status"] = "no_observations" if not cam_acc else "insufficient_observations"
+                    rig_success = False
+                    sensors_json.append(sj)
+                    sensors_artifact[sensor_id] = sj
+                    continue
+
+                try:
+                    he = estimate_and_optimize_handeye(
+                        np.stack(base_acc), np.stack(cam_acc), rig.min_angle_deg, rig.options
+                    )
+                    sj["status"] = "ok" if he.core.success else "optimization_failed"
+                    sj["success"] = he.core.success
+                    sj["final_cost"] = he.core.final_cost
+                    sj["report"] = he.core.report
+                    sj["g_se3_c"] = _pose_json(he.g_se3_c)
+                    if he.core.covariance is not None:
+                        sj["covariance"] = he.core.covariance.tolist()
+                    sensors_artifact[sensor_id] = sj
+                    if he.core.success:
+                        rig_any = True
+                        context.handeye_results.setdefault(rig.rig_id, {})[sensor_id] = he
+                    else:
+                        rig_success = False
+                except Exception as ex:  # noqa: BLE001 — parity (handeye_stage.cpp:185-190)
+                    sj["status"] = "estimation_error"
+                    sj["error"] = str(ex)
+                    sensors_artifact[sensor_id] = sj
+                    rig_success = False
+                sensors_json.append(sj)
+
+            if rig_any and rig_success:
+                rig_json["status"] = "ok"
+                any_success = True
+            elif rig_any:
+                rig_json["status"] = "partial_success"
+                any_success = True
+                overall = False
+            else:
+                rig_json["status"] = "failed"
+                overall = False
+            rig_json["sensor_reports"] = sensors_json
+            rigs_json.append(rig_json)
+
+        result.summary["rigs"] = rigs_json
+        result.summary["status"], result.success = _aggregate(any_success, overall)
+        return result
+
+
+class BundleAdjustmentStage(CalibrationStage):
+    """bundle_stage.cpp:8-169 + detail/bundle_utils.cpp."""
+
+    def name(self) -> str:
+        return "bundle"
+
+    def run(self, context: PipelineContext) -> PipelineStageResult:
+        import jax.numpy as jnp
+
+        result = PipelineStageResult(name=self.name())
+        if not context.intrinsic_results:
+            result.summary["status"] = "waiting_for_intrinsic_stage"
+            return result
+        if not context.has_bundle_config():
+            result.summary["status"] = "missing_config"
+            return result
+        cfg = context.bundle_config()
+        if not cfg.rigs:
+            result.summary["status"] = "no_rigs_configured"
+            return result
+
+        sensor_index = build_sensor_index(context.dataset.planar_cameras)
+        context.bundle_results.clear()
+        bundle_artifacts = context.artifacts.setdefault("bundle", {})
+        he_cfg = context.handeye_config() if context.has_handeye_config() else None
+
+        overall, any_success = True, False
+        rigs_json = []
+        for rig in cfg.rigs:
+            rig_json = {
+                "rig_id": rig.rig_id,
+                "sensor_count": len(rig.sensors),
+                "min_angle_deg": rig.min_angle_deg,
+            }
+            # observation selection with hand-eye fallback (bundle_utils.cpp:30-44)
+            observations = rig.observations
+            if not observations and he_cfg is not None:
+                he_rig = find_handeye_rig(he_cfg, rig.rig_id)
+                if he_rig is not None and he_rig.observations:
+                    observations = he_rig.observations
+            requested = len(observations)
+            if not observations:
+                rig_json["status"] = "no_observations"
+                rig_json["observations"] = {"requested": requested, "used": 0}
+                rigs_json.append(rig_json)
+                overall = False
+                continue
+
+            rig_artifact = bundle_artifacts.setdefault(rig.rig_id, {})
+            rig_artifact["options"] = jsonio.to_jsonable(rig.options)
+            rig_artifact["min_angle_deg"] = rig.min_angle_deg
+
+            # sensor setup (bundle_utils.cpp:9-27)
+            missing = [s for s in rig.sensors if s not in context.intrinsic_results]
+            if missing:
+                rig_json["status"] = "missing_intrinsics"
+                rig_json["observations"] = {"requested": requested, "used": 0}
+                rigs_json.append(rig_json)
+                overall = False
+                continue
+            cameras = np.stack(
+                [context.intrinsic_results[s].refine_result.camera for s in rig.sensors]
+            )
+            sensor_to_index = {s: i for i, s in enumerate(rig.sensors)}
+
+            # collect observations (bundle_utils.cpp:60-145)
+            obs_views, obs_bg, obs_cam_idx = [], [], []
+            accum_base: Dict[int, List] = {i: [] for i in range(len(rig.sensors))}
+            accum_cam: Dict[int, List] = {i: [] for i in range(len(rig.sensors))}
+            views_json = []
+            for view_cfg in observations:
+                vj = {}
+                if view_cfg.view_id:
+                    vj["id"] = view_cfg.view_id
+                vj["base_pose"] = _pose_json(view_cfg.base_se3_gripper)
+                sensor_reports = []
+                used = False
+                for sensor_id in rig.sensors:
+                    se = {"sensor_id": sensor_id}
+                    sidx = sensor_to_index[sensor_id]
+                    fname = view_cfg.images.get(sensor_id)
+                    if fname is None:
+                        se["status"] = "missing_image_reference"
+                        sensor_reports.append(se)
+                        continue
+                    det_index = sensor_index.get(sensor_id)
+                    if det_index is None:
+                        se["status"] = "missing_detections"
+                        sensor_reports.append(se)
+                        continue
+                    img = det_index.image_lookup.get(fname)
+                    if img is None:
+                        se["status"] = "image_not_in_dataset"
+                        se["image"] = fname
+                        sensor_reports.append(se)
+                        continue
+                    camera = context.intrinsic_results[sensor_id].refine_result.camera
+                    obj, uv = make_planar_arrays(img)
+                    se["image"] = fname
+                    se["points"] = obj.shape[0]
+                    if obj.shape[0] < 4:
+                        se["status"] = "insufficient_points"
+                        sensor_reports.append(se)
+                        continue
+                    pose = planarpose.estimate_planar_pose(
+                        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(camera[:5])
+                    )
+                    obs_views.append((obj, uv))
+                    obs_bg.append(np.asarray(view_cfg.base_se3_gripper))
+                    obs_cam_idx.append(sidx)
+                    accum_base[sidx].append(np.asarray(view_cfg.base_se3_gripper))
+                    accum_cam[sidx].append(np.asarray(pose))
+                    se["status"] = "ok"
+                    used = True
+                    sensor_reports.append(se)
+                vj["sensors"] = sensor_reports
+                vj["used"] = used
+                views_json.append(vj)
+
+            rig_json["observations"] = {"requested": requested, "used": len(obs_views)}
+            rig_json["views"] = views_json
+            if not obs_views:
+                rig_json["status"] = "no_valid_observations"
+                rigs_json.append(rig_json)
+                overall = False
+                continue
+
+            # hand-eye init: prior stage -> DLT -> identity (bundle_utils.cpp:148-200)
+            he_init = np.tile(np.eye(4), (len(rig.sensors), 1, 1))
+            he_report = []
+            he_failed = False
+            rig_he = context.handeye_results.get(rig.rig_id, {})
+            for sidx, sensor_id in enumerate(rig.sensors):
+                entry = {"sensor_id": sensor_id, "source": "identity"}
+                he = rig_he.get(sensor_id)
+                if he is not None and he.core.success:
+                    he_init[sidx] = he.g_se3_c
+                    entry.update(source="handeye", success=True)
+                elif len(accum_cam[sidx]) >= 2:
+                    try:
+                        pose, ok = handeye_linear.estimate_handeye_dlt(
+                            jnp.asarray(np.stack(accum_base[sidx])),
+                            jnp.asarray(np.stack(accum_cam[sidx])),
+                            rig.min_angle_deg,
+                        )
+                        he_init[sidx] = np.asarray(pose)
+                        entry.update(source="dlt", success=bool(ok))
+                        if not bool(ok):
+                            he_failed = True
+                    except Exception as ex:  # noqa: BLE001
+                        entry.update(source="dlt", success=False, error=str(ex))
+                        he_failed = True
+                else:
+                    entry.update(success=False, error="insufficient_observations")
+                    he_failed = True
+                he_report.append(entry)
+            rig_json["handeye_initialization"] = he_report
+
+            # target init: config -> averaged b*X*c -> identity (bundle_utils.cpp:202-237)
+            if rig.initial_target is not None:
+                target_pose = np.asarray(rig.initial_target)
+                target_source = "config"
+            else:
+                candidates = []
+                for sidx in range(len(rig.sensors)):
+                    for b, c in zip(accum_base[sidx], accum_cam[sidx]):
+                        candidates.append(b @ he_init[sidx] @ c)
+                if candidates:
+                    target_pose = np.asarray(
+                        se3.average_isometries(jnp.asarray(np.stack(candidates)))
+                    )
+                    target_source = "estimated"
+                else:
+                    target_pose = np.eye(4)
+                    target_source = "identity"
+            rig_json["initial_target_source"] = target_source
+            rig_artifact["initial_hand_eye"] = he_report
+            rig_artifact["initial_target"] = _pose_json(target_pose)
+            if he_failed and rig.initial_target is None:
+                overall = False
+
+            try:
+                obj_b, uv_b, mask_b = pad_views(obs_views)
+                br = optimize_bundle(
+                    obj_b, uv_b, np.stack(obs_bg), np.asarray(obs_cam_idx), cameras,
+                    he_init, target_pose, mask=jnp.asarray(mask_b), opts=rig.options,
+                )
+                result_json = {
+                    "success": br.core.success,
+                    "final_cost": br.core.final_cost,
+                    "report": br.core.report,
+                    "b_se3_t": _pose_json(br.b_se3_t),
+                    "g_se3_c": [_pose_json(m) for m in br.g_se3_c],
+                    "cameras": [c.tolist() for c in br.cameras],
+                }
+                if br.core.covariance is not None:
+                    result_json["covariance"] = br.core.covariance.tolist()
+                rig_artifact["result"] = result_json
+                rig_artifact["views"] = views_json
+                rig_json["success"] = br.core.success
+                rig_json["final_cost"] = br.core.final_cost
+                if br.core.success:
+                    rig_json["status"] = "ok"
+                    any_success = True
+                    context.bundle_results[rig.rig_id] = br
+                else:
+                    rig_json["status"] = "optimization_failed"
+                    overall = False
+            except Exception as ex:  # noqa: BLE001 — parity (bundle_stage.cpp:146-151)
+                rig_json["status"] = "optimization_error"
+                rig_json["error"] = str(ex)
+                rig_artifact["error"] = str(ex)
+                overall = False
+            rigs_json.append(rig_json)
+
+        result.summary["rigs"] = rigs_json
+        result.summary["status"], result.success = _aggregate(any_success, overall)
+        return result

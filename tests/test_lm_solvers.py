@@ -1,0 +1,231 @@
+"""LM engine and solver ground-truth recovery tests (reference:
+tests/unit/{intrinsics_optimize,extrinsics,handeye,bundle}_test.cpp — perturb
+ground truth, optimize, assert recovery to 1e-6)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import synth
+from calibration_tpu.models import pinhole
+from calibration_tpu.optim import (
+    BundleOptions,
+    ExtrinsicOptions,
+    IntrinsicsOptimOptions,
+    OptimOptions,
+    lm_core,
+    manifold,
+    optimize_bundle,
+    optimize_extrinsics,
+    optimize_handeye,
+    estimate_and_optimize_handeye,
+    optimize_homography,
+    optimize_intrinsics,
+    optimize_intrinsics_semidlt,
+    optimize_planar_pose,
+)
+from calibration_tpu.ops import homography as H
+from calibration_tpu.ops import se3
+
+FAST = OptimOptions(max_iterations=100, compute_covariance=False)
+
+
+def test_lm_rosenbrock():
+    # sanity: classic curved-valley least squares
+    def resid(x):
+        return jnp.array([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    m = manifold.ProductManifold([manifold.euclid(2)])
+    out = lm_core(resid, jnp.array([-1.2, 1.0]), m, options=OptimOptions(huber_delta=0.0))
+    assert bool(out.success)
+    np.testing.assert_allclose(np.asarray(out.x), [1.0, 1.0], atol=1e-8)
+
+
+def test_lm_free_mask_freezes_params():
+    def resid(x):
+        return x - jnp.array([1.0, 2.0, 3.0])
+
+    m = manifold.ProductManifold([manifold.euclid(3)])
+    out = lm_core(
+        resid, jnp.zeros(3), m,
+        options=OptimOptions(huber_delta=0.0),
+        free_mask=jnp.array([True, False, True]),
+    )
+    x = np.asarray(out.x)
+    np.testing.assert_allclose(x, [1.0, 0.0, 3.0], atol=1e-10)
+
+
+def test_lm_bounds():
+    def resid(x):
+        return x - jnp.array([-2.0, 5.0])
+
+    m = manifold.ProductManifold([manifold.euclid(2)])
+    out = lm_core(
+        resid, jnp.array([1.0, 1.0]), m,
+        options=OptimOptions(huber_delta=0.0),
+        lower=jnp.array([0.0, -jnp.inf]),
+    )
+    x = np.asarray(out.x)
+    assert x[0] == 0.0
+    np.testing.assert_allclose(x[1], 5.0, atol=1e-9)
+
+
+def test_optimize_homography_noisy():
+    rng = np.random.default_rng(3)
+    h = np.array([[1.1, 0.05, 20.0], [-0.02, 0.97, -8.0], [5e-5, -1e-4, 1.0]])
+    src = rng.uniform(-2, 2, (40, 2))
+    dst = np.asarray(H.apply_homography(jnp.asarray(h), jnp.asarray(src)))
+    dst_noisy = dst + rng.normal(0, 0.05, dst.shape)
+    h0 = np.asarray(H.estimate_homography_dlt(jnp.asarray(src), jnp.asarray(dst_noisy)))
+    res = optimize_homography(src, dst_noisy, h0, OptimOptions(max_iterations=200))
+    assert res.core.success
+    assert res.core.final_cost <= 0.5 * float(np.sum((np.asarray(
+        H.apply_homography(jnp.asarray(h0), jnp.asarray(src))) - dst_noisy) ** 2)) + 1e-12
+    # exact data: recover h exactly
+    res2 = optimize_homography(src, dst, h0, OptimOptions(max_iterations=200))
+    np.testing.assert_allclose(res2.homography, h, atol=1e-9)
+    assert res2.core.covariance is not None
+    assert res2.core.covariance.shape == (8, 8)
+
+
+def test_optimize_planar_pose_varpro():
+    intr = synth.default_camera()
+    intr[5:] = [-0.12, 0.04, 0.0, 1e-4, -5e-5]
+    obj = synth.make_target_grid(6, 8, 0.04)
+    pose = synth.euler_pose(0.25, -0.1, 0.08, [0.03, -0.02, 1.1])
+    uv = synth.render_pixels(intr, pose[None], obj)[0]
+    # distortion order for fit: [k1, k2, p1, p2] (num_radial=2) ->
+    # render used k3=0 so recovery is exact
+    pert = synth.euler_pose(0.27, -0.12, 0.085, [0.035, -0.022, 1.12])
+    res = optimize_planar_pose(obj, uv, intr[:5], pert)
+    assert res.core.success
+    assert synth.rot_err_deg(res.pose, pose) < 1e-6
+    assert synth.trans_err(res.pose, pose) < 1e-6
+    np.testing.assert_allclose(res.distortion, [-0.12, 0.04, 1e-4, -5e-5], atol=1e-8)
+    assert res.reprojection_error < 1e-8
+
+
+def test_optimize_intrinsics_recovery():
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(8)
+    uv = synth.render_pixels(intr_gt, poses, obj)
+    obj_b = np.tile(obj[None], (8, 1, 1))
+
+    intr0 = intr_gt.copy()
+    intr0[:4] += [8.0, -6.0, 4.0, -3.0]
+    intr0[5:] = 0.0
+    poses0 = np.stack([synth.euler_pose(0, 0, 0, [0, 0, 1.0])] * 8)
+    # use true-ish pose inits (linear stage provides these in the pipeline)
+    poses0 = poses.copy()
+    res = optimize_intrinsics(obj_b, uv, intr0, poses0, opts=IntrinsicsOptimOptions())
+    assert res.core.success
+    np.testing.assert_allclose(res.camera[:4], intr_gt[:4], atol=1e-6)
+    np.testing.assert_allclose(res.camera[5:], intr_gt[5:], atol=1e-7)
+    for v in range(8):
+        assert synth.rot_err_deg(res.c_se3_t[v], poses[v]) < 1e-5
+    assert res.core.covariance is not None
+    assert res.core.covariance.shape == (10 + 7 * 8, 10 + 7 * 8)
+
+
+def test_optimize_intrinsics_semidlt():
+    intr_gt = synth.default_camera()
+    intr_gt[5:] = [-0.1, 0.03, 0.0, 0.0, 0.0]  # k3=p1=p2=0; semidlt fits k1,k2,p1,p2
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(8)
+    uv = synth.render_pixels(intr_gt, poses, obj)
+    obj_b = np.tile(obj[None], (8, 1, 1))
+    k0 = intr_gt[:5] + np.array([10.0, -8.0, 5.0, -4.0, 0.0])
+    res = optimize_intrinsics_semidlt(obj_b, uv, k0)
+    assert res.core.success
+    np.testing.assert_allclose(res.kmtx[:4], intr_gt[:4], atol=1e-5)
+    np.testing.assert_allclose(res.distortion, [-0.1, 0.03, 0.0, 0.0], atol=1e-7)
+    assert res.view_errors.max() < 1e-7
+
+
+def test_optimize_extrinsics_two_cameras():
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    c1_se3_c0 = synth.euler_pose(0.02, -0.35, 0.01, [-0.22, 0.01, 0.015])
+    r_se3_t = synth.circle_views(6, dist=1.0)
+    n = obj.shape[0]
+    uv = np.zeros((6, 2, n, 2))
+    for v in range(6):
+        for ci, cpose in enumerate([r_se3_t[v], c1_se3_c0 @ r_se3_t[v]]):
+            uv[v, ci] = synth.render_pixels(intr_gt, cpose[None], obj)[0]
+    obj_b = np.tile(obj[None, None], (6, 2, 1, 1))
+
+    cams0 = np.stack([intr_gt, intr_gt])
+    cams0[:, 0] += 5.0  # perturb fx
+    c_se3_r0 = np.stack([np.eye(4), synth.euler_pose(0.01, -0.33, 0.02, [-0.2, 0.0, 0.0])])
+    r0 = r_se3_t.copy()
+    res = optimize_extrinsics(obj_b, uv, cams0, c_se3_r0, r0, opts=ExtrinsicOptions())
+    assert res.core.success
+    # gauge: cam0 pose = identity kept fixed
+    np.testing.assert_allclose(res.c_se3_r[0], np.eye(4), atol=1e-12)
+    assert synth.rot_err_deg(res.c_se3_r[1], c1_se3_c0) < 1e-5
+    assert synth.trans_err(res.c_se3_r[1], c1_se3_c0) < 1e-6
+    np.testing.assert_allclose(res.cameras[0][:4], intr_gt[:4], atol=1e-5)
+    # first target pose kept fixed (gauge, extrinsics.cpp:124-127)
+    np.testing.assert_allclose(res.r_se3_t[0], r0[0], atol=1e-12)
+
+
+def test_optimize_handeye_axxb():
+    sim = synth.make_handeye_sequence(num_poses=12)
+    pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
+    res = optimize_handeye(sim["b_se3_g"], sim["c_se3_t"], pert, OptimOptions())
+    assert res.core.success
+    assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-6
+    assert synth.trans_err(res.g_se3_c, sim["g_se3_c"]) < 1e-6
+    assert res.core.covariance is not None
+    assert res.core.covariance.shape == (7, 7)
+
+
+def test_estimate_and_optimize_handeye():
+    sim = synth.make_handeye_sequence(num_poses=10)
+    res = estimate_and_optimize_handeye(sim["b_se3_g"], sim["c_se3_t"])
+    assert res.core.success
+    assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-6
+
+
+def test_optimize_bundle_single_camera():
+    # perturb hand-eye + target pose, recover both (bundle_test.cpp:9-81)
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(8, 11, 0.03)
+    sim = synth.make_handeye_sequence(num_poses=15)
+    uv = synth.render_pixels(intr_gt, sim["c_se3_t"], obj)
+    o = uv.shape[0]
+    obj_b = np.tile(obj[None], (o, 1, 1))
+    cam_idx = np.zeros(o, int)
+
+    g0 = synth.euler_pose(0.11, -0.21, 0.16, [0.022, -0.032, 0.052])
+    b0 = synth.euler_pose(0.06, 0.02, -0.07, [0.41, -0.09, 0.19])
+    res = optimize_bundle(
+        obj_b, uv, sim["b_se3_g"], cam_idx, intr_gt[None], g0[None], b0,
+        opts=BundleOptions(),
+    )
+    assert res.core.success
+    assert synth.rot_err_deg(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
+    assert synth.trans_err(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
+    assert synth.rot_err_deg(res.b_se3_t, sim["b_se3_t"]) < 1e-6
+    assert synth.trans_err(res.b_se3_t, sim["b_se3_t"]) < 1e-6
+
+
+def test_optimize_bundle_with_intrinsics():
+    # bundle_test intrinsics recovery scenario: fx/fy/cx/cy within 1e-6
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(8, 11, 0.03)
+    sim = synth.make_handeye_sequence(num_poses=20)
+    uv = synth.render_pixels(intr_gt, sim["c_se3_t"], obj)
+    o = uv.shape[0]
+    obj_b = np.tile(obj[None], (o, 1, 1))
+    cam_idx = np.zeros(o, int)
+    intr0 = intr_gt.copy()
+    intr0[:4] += [4.0, -3.0, 2.0, -2.0]
+    res = optimize_bundle(
+        obj_b, uv, sim["b_se3_g"], cam_idx, intr0[None], sim["g_se3_c"][None],
+        sim["b_se3_t"],
+        opts=BundleOptions(optimize_intrinsics=True),
+    )
+    assert res.core.success
+    np.testing.assert_allclose(res.cameras[0][:4], intr_gt[:4], atol=1e-6)
