@@ -1,0 +1,206 @@
+"""Headline benchmark: batched planar-intrinsics calibration throughput.
+
+BASELINE.md config 2: Zhang planar intrinsics, 10 views x 8x11 grid,
+Brown-Conrady distortion, full LM refinement. The reference solves one
+problem at a time with Ceres on CPU; the TPU-native path solves a whole
+batch per dispatch (linear seed + LM refine in one jitted program).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}
+vs_baseline = throughput vs a measured scipy.least_squares (TRF, the
+CPU/Ceres stand-in available in this image) solving the same problems
+sequentially on the host CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/calibration_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+
+def make_problems(batch, views=10, rows=8, cols=11, noise=0.2, seed=7):
+    import jax.numpy as jnp
+
+    from calibration_tpu.models import pinhole
+    from calibration_tpu.ops import se3
+
+    rng = np.random.default_rng(seed)
+    n = rows * cols
+    ys, xs = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    obj = np.stack([xs.ravel() * 0.03, ys.ravel() * 0.03], -1)
+    obj = obj - obj.mean(0)
+
+    kmtx = np.array([600.0, 610.0, 320.0, 240.0, 0.0])
+    dist = np.array([-0.15, 0.05, 0.0, 1e-4, -2e-4])
+    intr = np.concatenate([kmtx, dist])
+
+    poses = np.zeros((batch, views, 4, 4))
+    for b in range(batch):
+        for v in range(views):
+            ang = 2 * np.pi * v / views + 0.05 * b
+            w = np.array([0.3 * np.cos(ang), 0.3 * np.sin(ang), 0.1 * np.sin(2 * ang)])
+            t = np.array([0.06 * np.cos(ang), 0.06 * np.sin(ang), 0.9 + 0.08 * np.sin(ang)])
+            m = np.eye(4)
+            m[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(w)))
+            m[:3, 3] = t
+            poses[b, v] = m
+
+    obj3 = np.concatenate([obj, np.zeros((n, 1))], -1)
+    pts_c = np.einsum("bvij,nj->bvni", poses[:, :, :3, :3], obj3) + poses[:, :, None, :3, 3]
+    uv = np.asarray(pinhole.project(jnp.asarray(intr), jnp.asarray(pts_c)))
+    uv = uv + rng.normal(0, noise, uv.shape)
+    obj_b = np.tile(obj[None, None], (batch, views, 1, 1))
+    return obj_b, uv, poses, intr
+
+
+def tpu_throughput(obj, uv, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from calibration_tpu.optim import IntrinsicsOptimOptions, OptimOptions
+    from calibration_tpu.optim.intrinsics import optimize_intrinsics_device
+    from calibration_tpu.ops import intrinsics_linear
+
+    opts = IntrinsicsOptimOptions(
+        core=OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
+    )
+
+    @jax.jit
+    def solve(obj, uv):
+        mask = jnp.ones(obj.shape[:-1], obj.dtype)
+        seed = jax.vmap(intrinsics_linear.estimate_intrinsics)(obj, uv, mask > 0)
+        intr0 = jnp.concatenate(
+            [seed.kmtx, jnp.zeros(seed.kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
+        )
+        fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(o, u, i0, p0, mask=m, opts=opts)
+        out, intr, poses, view_errors, cov, cov_ok = jax.vmap(fn)(obj, uv, mask, intr0, seed.c_se3_t)
+        return intr, out.cost, view_errors, cov
+
+    obj_j = jnp.asarray(obj)
+    uv_j = jnp.asarray(uv)
+    t0 = time.time()
+    intr, cost, view_errors, cov = solve(obj_j, uv_j)
+    intr.block_until_ready()
+    compile_and_first = time.time() - t0
+    print(f"[bench] compile+first: {compile_and_first:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        intr, cost, view_errors, cov = solve(obj_j, uv_j)
+        intr.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+    batch = obj.shape[0]
+    rms = float(np.sqrt(np.mean(np.asarray(view_errors) ** 2)))
+    print(f"[bench] tpu: {batch} solves in {dt:.3f}s, mean view RMS {rms:.4f}px", file=sys.stderr)
+    return batch / dt, rms, np.asarray(intr)
+
+
+def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
+    """scipy.optimize.least_squares (TRF) as the sequential-CPU stand-in for
+    the Ceres reference (same residual, analytic-free dense solver)."""
+    try:
+        from scipy.optimize import least_squares
+    except Exception:
+        return None
+
+    b = min(max_problems, obj.shape[0])
+    v, n = obj.shape[1], obj.shape[2]
+
+    def residual(x, obj_v, uv_v):
+        intr = x[:10]
+        poses6 = x[10:].reshape(v, 6)
+        fx, fy, cx, cy, skew = intr[:5]
+        k1, k2, k3, p1, p2 = intr[5:]
+        res = np.zeros((v, n, 2))
+        for i in range(v):
+            w = poses6[i, :3]
+            th = np.linalg.norm(w)
+            if th < 1e-12:
+                rot = np.eye(3)
+            else:
+                a = w / th
+                km = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+                rot = np.eye(3) + np.sin(th) * km + (1 - np.cos(th)) * (km @ km)
+            pts = np.concatenate([obj_v[i], np.zeros((n, 1))], -1) @ rot.T + poses6[i, 3:]
+            xn = pts[:, 0] / pts[:, 2]
+            yn = pts[:, 1] / pts[:, 2]
+            r2 = xn * xn + yn * yn
+            rad = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+            xd = xn * rad + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+            yd = yn * rad + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+            res[i, :, 0] = fx * xd + skew * yd + cx - uv_v[i, :, 0]
+            res[i, :, 1] = fy * yd + cy - uv_v[i, :, 1]
+        return res.ravel()
+
+    t0 = time.time()
+    for i in range(b):
+        x0 = np.concatenate([intr_gt * (1 + 0.01), np.zeros(6 * v)])
+        p6 = np.zeros((v, 6))
+        for j in range(v):
+            rot = poses0[i, j, :3, :3]
+            # rotation matrix -> axis-angle via quaternion
+            q = _rot_to_quat(rot)
+            s = np.linalg.norm(q[1:])
+            ang = 2 * np.arctan2(s, q[0])
+            p6[j, :3] = (q[1:] / s * ang) if s > 1e-12 else np.zeros(3)
+            p6[j, 3:] = poses0[i, j, :3, 3]
+        x0[10:] = p6.ravel()
+        least_squares(residual, x0, args=(obj[i], uv[i]), method="trf", xtol=1e-9, ftol=1e-9)
+    dt = time.time() - t0
+    print(f"[bench] cpu baseline: {b} solves in {dt:.2f}s", file=sys.stderr)
+    return b / dt
+
+
+def _rot_to_quat(r):
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        return np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+    i = int(np.argmax(np.diag(r)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(1e-12, 1.0 + r[i, i] - r[j, j] - r[k, k])) * 2
+    q = np.zeros(4)
+    q[0] = (r[k, j] - r[j, k]) / s
+    q[i + 1] = 0.25 * s
+    q[j + 1] = (r[j, i] + r[i, j]) / s
+    q[k + 1] = (r[k, i] + r[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    import jax
+
+    print(f"[bench] backend: {jax.default_backend()}, devices: {jax.devices()}", file=sys.stderr)
+    obj, uv, poses, intr_gt = make_problems(batch)
+    throughput, rms, intr = tpu_throughput(obj, uv)
+
+    cpu = cpu_baseline_throughput(obj, uv, poses, intr_gt)
+    vs_baseline = (throughput / cpu) if cpu else 1.0
+
+    fx_err = float(np.mean(np.abs(intr[:, 0] - intr_gt[0])))
+    print(f"[bench] mean |fx err|: {fx_err:.4f}px-equivalent", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "batched_planar_intrinsics_solves_per_sec",
+                "value": round(throughput, 3),
+                "unit": "solves/sec",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

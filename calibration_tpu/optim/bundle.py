@@ -21,7 +21,7 @@ from .core import OptimOptions, OptimResult, TerminationType, brief_report
 from .manifold import ProductManifold, euclid, quat
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class BundleOptions:
     """Mirrors include/calib/estimation/optim/bundle.h:33-40."""
 

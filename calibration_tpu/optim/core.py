@@ -23,7 +23,7 @@ class OptimizerType(str, enum.Enum):
     DENSE_QR = "dense_qr"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OptimOptions:
     """Defaults mirror optimize.h:24-33."""
 

@@ -23,7 +23,7 @@ from .core import OptimOptions, OptimResult, TerminationType, brief_report
 from .manifold import ProductManifold, euclid, quat
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ExtrinsicOptions:
     """Mirrors include/calib/estimation/optim/extrinsics.h:24-30."""
 

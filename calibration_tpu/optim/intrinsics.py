@@ -23,7 +23,7 @@ from .core import OptimOptions, OptimResult, TerminationType, brief_report
 from .manifold import ProductManifold, euclid, quat
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class IntrinsicsOptimOptions:
     """Mirrors include/calib/estimation/optim/intrinsics.h:15-22."""
 
@@ -31,8 +31,8 @@ class IntrinsicsOptimOptions:
     num_radial: int = 2
     optimize_skew: bool = False
     bounds: CalibrationBounds | None = None
-    fixed_distortion_indices: list = dataclasses.field(default_factory=list)
-    fixed_distortion_values: list = dataclasses.field(default_factory=list)
+    fixed_distortion_indices: tuple = ()
+    fixed_distortion_values: tuple = ()
 
 
 def make_manifold(pc: int, num_views: int) -> ProductManifold:

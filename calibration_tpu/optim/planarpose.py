@@ -71,7 +71,7 @@ class PlanarPoseResult:
     reprojection_error: float
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class PlanarPoseOptions:
     core: OptimOptions = dataclasses.field(default_factory=OptimOptions)
     num_radial: int = 2

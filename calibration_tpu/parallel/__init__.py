@@ -1,0 +1,9 @@
+from . import batched, sharding
+from .batched import (
+    bundle_batch,
+    handeye_batch,
+    homography_batch,
+    intrinsics_batch,
+    planar_pose_batch,
+)
+from .sharding import BATCH_AXIS, batch_sharding, make_mesh, pad_batch, shard_batch

@@ -1,0 +1,169 @@
+"""Batched (vmapped + mesh-sharded) solver entry points.
+
+Each function lifts a single-problem device core from ``optim``/``ops`` over
+a leading problem axis with ``jax.vmap``, jits it, and optionally shards the
+batch across a mesh. This is the throughput path: thousands of same-shape
+calibration problems per device dispatch (SURVEY.md section 2, 'data
+parallelism over calibration problems').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.registry import PINHOLE
+from ..ops import handeye_linear, homography as H, intrinsics_linear, planarpose
+from ..optim import OptimOptions
+from ..optim.bundle import BundleOptions, optimize_bundle_device
+from ..optim.handeye import optimize_handeye_device
+from ..optim.homography import optimize_homography_device
+from ..optim.intrinsics import IntrinsicsOptimOptions, optimize_intrinsics_device
+from ..optim.planarpose import optimize_planar_pose_device
+from . import sharding as sh
+
+
+def _maybe_shard(args, mesh):
+    if mesh is None:
+        return args
+    return sh.shard_batch(args, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def _homography_batch_jit(init_h, obj, uv, mask, options):
+    fn = lambda h0, o, u, m: optimize_homography_device(h0, o, u, m, options=options)
+    return jax.vmap(fn)(init_h, obj, uv, mask)
+
+
+def homography_batch(obj_xy, img_uv, mask=None, options: OptimOptions = OptimOptions(), mesh=None):
+    """DLT + LM refine for a batch of homography problems.
+
+    obj_xy/img_uv: (B, N, 2); mask: (B, N). Returns (LMOutput batch, H (B,3,3),
+    cov (B,8,8), cov_ok (B,)).
+    """
+    obj_xy = jnp.asarray(obj_xy)
+    img_uv = jnp.asarray(img_uv)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
+    init_h = H.estimate_homography_dlt(obj_xy, img_uv, mask)
+    args = _maybe_shard((init_h, obj_xy, img_uv, jnp.asarray(mask, obj_xy.dtype)), mesh)
+    return _homography_batch_jit(*args, options)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "model_name"))
+def _intrinsics_batch_jit(obj, uv, mask, init_intr, init_poses, opts, model_name):
+    from ..models.registry import get_model
+
+    model = get_model(model_name)
+    fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
+        o, u, i0, p0, mask=m, model=model, opts=opts
+    )
+    return jax.vmap(fn)(obj, uv, mask, init_intr, init_poses)
+
+
+def intrinsics_batch(
+    obj_xy,
+    img_uv,
+    mask=None,
+    opts: Optional[IntrinsicsOptimOptions] = None,
+    model_name: str = "pinhole_brown_conrady",
+    mesh=None,
+):
+    """Full Zhang + LM pipeline for a batch of B cameras.
+
+    obj_xy/img_uv: (B, V, N, 2); mask: (B, V, N). The linear seed (batched
+    homography DLT -> Zhang -> pose decomposition) and the LM refine run as
+    one jitted program over the whole batch.
+    """
+    opts = opts or IntrinsicsOptimOptions()
+    obj_xy = jnp.asarray(obj_xy)
+    img_uv = jnp.asarray(img_uv)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], bool)
+    mask = jnp.asarray(mask)
+
+    seed = jax.vmap(intrinsics_linear.estimate_intrinsics)(obj_xy, img_uv, mask)
+    init_intr = jnp.concatenate(
+        [seed.kmtx, jnp.zeros(seed.kmtx.shape[:-1] + (5,), obj_xy.dtype)], axis=-1
+    )
+    args = _maybe_shard(
+        (obj_xy, img_uv, mask.astype(obj_xy.dtype), init_intr, seed.c_se3_t), mesh
+    )
+    out = _intrinsics_batch_jit(*args, opts, model_name)
+    return seed, out
+
+
+@functools.partial(jax.jit, static_argnames=("options", "min_angle_deg"))
+def _handeye_batch_jit(b_se3_g, c_se3_t, options, min_angle_deg):
+    def solve(bg, ct):
+        pairs = handeye_linear.build_all_pairs(bg, ct, min_angle_deg)
+        init, _ = handeye_linear.estimate_handeye_dlt(bg, ct, min_angle_deg)
+        return optimize_handeye_device(pairs, init, options)
+
+    return jax.vmap(solve)(b_se3_g, c_se3_t)
+
+
+def handeye_batch(
+    base_se3_gripper,
+    cam_se3_target,
+    options: OptimOptions = OptimOptions(),
+    min_angle_deg: float = 1.0,
+    mesh=None,
+):
+    """Tsai-Lenz DLT seed + AX=XB LM for a batch of rigs.
+
+    base_se3_gripper/cam_se3_target: (B, P, 4, 4).
+    """
+    args = _maybe_shard(
+        (jnp.asarray(base_se3_gripper), jnp.asarray(cam_se3_target)), mesh
+    )
+    return _handeye_batch_jit(*args, options, min_angle_deg)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _planar_pose_batch_jit(init_pose, obj, uv, kmtx, mask, opts):
+    fn = lambda p0, o, u, k, m: optimize_planar_pose_device(
+        p0, o, u, k, num_radial=2, mask=m, options=opts
+    )
+    return jax.vmap(fn)(init_pose, obj, uv, kmtx, mask)
+
+
+def planar_pose_batch(obj_xy, img_uv, kmtx, mask=None, options: OptimOptions = OptimOptions(), mesh=None):
+    """VarPro planar pose for a batch. obj_xy/img_uv: (B, N, 2); kmtx: (B, 5)."""
+    obj_xy = jnp.asarray(obj_xy)
+    img_uv = jnp.asarray(img_uv)
+    kmtx = jnp.asarray(kmtx)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], bool)
+    init = planarpose.estimate_planar_pose(obj_xy, img_uv, kmtx, mask)
+    args = _maybe_shard((init, obj_xy, img_uv, kmtx, jnp.asarray(mask)), mesh)
+    return _planar_pose_batch_jit(*args, options)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _bundle_batch_jit(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask, opts):
+    fn = lambda o, u, bg, ci, i0, g, b, m: optimize_bundle_device(
+        o, u, bg, ci, i0, g, b, mask=m, model=PINHOLE, opts=opts
+    )
+    return jax.vmap(fn)(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask)
+
+
+def bundle_batch(
+    obj_xy, img_uv, b_se3_g, cam_idx, init_intrs, init_g_se3_c, init_b_se3_t,
+    mask=None, opts: Optional[BundleOptions] = None, mesh=None,
+):
+    """Bundle adjustment for a batch of rigs (leading axis B on every arg)."""
+    opts = opts or BundleOptions()
+    obj_xy = jnp.asarray(obj_xy)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
+    args = _maybe_shard(
+        (obj_xy, jnp.asarray(img_uv), jnp.asarray(b_se3_g), jnp.asarray(cam_idx),
+         jnp.asarray(init_intrs), jnp.asarray(init_g_se3_c), jnp.asarray(init_b_se3_t),
+         jnp.asarray(mask, obj_xy.dtype)),
+        mesh,
+    )
+    return _bundle_batch_jit(*args, opts)

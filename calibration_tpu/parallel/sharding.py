@@ -1,0 +1,65 @@
+"""Device-mesh sharding for calibration problem batches.
+
+The reference solves independent problems serially (per sensor / pair / rig
+loops, SURVEY.md section 2 parallelism table). The TPU-native equivalent is
+data parallelism over problems: vmap the solver core over a leading batch
+axis and shard that axis across a 1-D device mesh. Problems are
+embarrassingly parallel — no intra-solve collectives — so scaling rides ICI
+bandwidth-free; only result gathers touch the interconnect.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = BATCH_AXIS) -> Mesh:
+    """1-D mesh over all (or given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
+    """Shard the leading (problem) axis; replicate everything after it."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Place every leaf with its leading axis sharded over the mesh.
+
+    Leaves whose leading dimension is not divisible by the mesh size are
+    replicated (callers should pad the batch; see ``pad_batch``).
+    """
+    n = mesh.devices.size
+    sharding = batch_sharding(mesh, axis_name)
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def pad_batch(tree, multiple: int):
+    """Pad the leading axis of every leaf up to a multiple (with edge copies)
+    so the batch divides the mesh. Returns (padded_tree, real_count)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    b = leaves[0].shape[0]
+    target = ((b + multiple - 1) // multiple) * multiple
+    if target == b:
+        return tree, b
+
+    def pad(x):
+        reps = np.concatenate([np.arange(b), np.zeros(target - b, int)])
+        return jax.numpy.asarray(x)[reps]
+
+    return jax.tree_util.tree_map(pad, tree), b
