@@ -14,13 +14,13 @@ from typing import Any, Dict, List
 
 import numpy as np
 
-from ..dataset import PlanarDetections
-from ..facades.intrinsics import (
+from .dataset import PlanarDetections
+from .facades.intrinsics import (
     CameraConfig,
     IntrinsicCalibrationConfig,
     IntrinsicCalibrationOutputs,
 )
-from ...io import jsonio
+from ..io import jsonio
 
 REPORT_TYPE = "intrinsics"
 REPORT_ALGORITHM_PLANAR = "planar_zhang_lm"

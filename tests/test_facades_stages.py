@@ -1,0 +1,220 @@
+"""Facade and stage integration tests on synthetic datasets (reference:
+tests/unit/planar_intrinsics_test.cpp, pipeline_stages_test.cpp,
+linescan_facade_test.cpp, stereo_calibration_test.cpp)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import synth
+from calibration_tpu.models import pinhole
+from calibration_tpu.optim import OptimOptions, IntrinsicsOptimOptions
+from calibration_tpu.pipeline import (
+    BundleAdjustmentStage,
+    CalibrationDataset,
+    CalibrationPipeline,
+    HandEyeCalibrationStage,
+    IntrinsicStage,
+    PipelineContext,
+)
+from calibration_tpu.pipeline.dataset import (
+    PlanarDetections,
+    PlanarImageDetections,
+    PlanarTargetPoint,
+)
+from calibration_tpu.pipeline.facades.handeye import (
+    BundlePipelineConfig,
+    BundleRigConfig,
+    HandEyeObservationConfig,
+    HandEyePipelineConfig,
+    HandEyeRigConfig,
+)
+from calibration_tpu.pipeline.facades.intrinsics import (
+    CameraConfig,
+    IntrinsicCalibrationConfig,
+    IntrinsicCalibrationOptions,
+    PlanarIntrinsicCalibrationFacade,
+    bounds_from_image_size,
+)
+from calibration_tpu.pipeline.facades.linescan import (
+    LinescanCalibrationFacade,
+    LinescanCalibrationOptions,
+    LineScanViewData,
+)
+from calibration_tpu.pipeline.loaders import DatasetLoader
+
+FAST_OPTS = IntrinsicsOptimOptions(core=OptimOptions(max_iterations=60, compute_covariance=False))
+
+
+def _detections_from_views(intr, poses, obj, sensor_id="cam0", noise=0.0, rng=None):
+    uv = synth.render_pixels(intr, poses, obj, noise=noise, rng=rng)
+    det = PlanarDetections(sensor_id=sensor_id, feature_type="synthetic", tags=["synthetic"])
+    for v in range(uv.shape[0]):
+        img = PlanarImageDetections(file=f"img_{v:03d}.png")
+        for j in range(obj.shape[0]):
+            img.points.append(
+                PlanarTargetPoint(
+                    x=float(uv[v, j, 0]), y=float(uv[v, j, 1]), id=j,
+                    local_x=float(obj[j, 0]), local_y=float(obj[j, 1]), local_z=0.0,
+                )
+            )
+        det.images.append(img)
+    return det
+
+
+def _intrinsics_config(min_corners=10):
+    return IntrinsicCalibrationConfig(
+        options=IntrinsicCalibrationOptions(
+            optim_options=FAST_OPTS, min_corners_per_view=min_corners
+        ),
+        cameras=[CameraConfig(camera_id="cam0", image_size=[640, 480])],
+    )
+
+
+def test_planar_intrinsics_facade_synthetic():
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(8)
+    det = _detections_from_views(intr, poses, obj)
+    cfg = _intrinsics_config()
+
+    out = PlanarIntrinsicCalibrationFacade().calibrate(cfg, cfg.cameras[0], det)
+    assert out.accepted_views == 8
+    assert out.refine_result.core.success
+    np.testing.assert_allclose(out.refine_result.camera[:4], intr[:4], atol=1e-5)
+    np.testing.assert_allclose(out.refine_result.camera[5:], intr[5:], atol=1e-6)
+    assert out.total_points_used == 8 * obj.shape[0]
+
+
+def test_planar_intrinsics_facade_too_few_views():
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(3)
+    det = _detections_from_views(intr, poses, obj)
+    cfg = _intrinsics_config()
+    with pytest.raises(RuntimeError, match="at least 4 views"):
+        PlanarIntrinsicCalibrationFacade().calibrate(cfg, cfg.cameras[0], det)
+
+
+def test_bounds_from_image_size():
+    b = bounds_from_image_size([640, 480])
+    assert b.fx_min == 120.0
+    assert b.cx_min == pytest.approx(32.0)
+    assert b.cx_max == pytest.approx(608.0)
+    assert b.skew_max == pytest.approx(32.0)
+
+
+class _StaticLoader(DatasetLoader):
+    def __init__(self, dataset):
+        self._ds = dataset
+
+    def load(self):
+        return self._ds
+
+
+def _handeye_dataset(num_poses=10):
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    sim = synth.make_handeye_sequence(num_poses=num_poses)
+    det = _detections_from_views(intr, sim["c_se3_t"], obj, sensor_id="cam0")
+    ds = CalibrationDataset(planar_cameras=[det])
+    observations = [
+        HandEyeObservationConfig(
+            view_id=f"v{i}", base_se3_gripper=sim["b_se3_g"][i],
+            images={"cam0": f"img_{i:03d}.png"},
+        )
+        for i in range(num_poses)
+    ]
+    return ds, sim, observations
+
+
+def test_full_pipeline_intrinsics_handeye_bundle():
+    ds, sim, observations = _handeye_dataset(num_poses=12)
+    ctx = PipelineContext()
+    ctx.set_intrinsics_config(_intrinsics_config())
+    ctx.set_handeye_config(
+        HandEyePipelineConfig(
+            rigs=[HandEyeRigConfig(rig_id="rig0", sensors=["cam0"], observations=observations,
+                                   options=OptimOptions(compute_covariance=False))]
+        )
+    )
+    ctx.set_bundle_config(
+        BundlePipelineConfig(rigs=[BundleRigConfig(rig_id="rig0", sensors=["cam0"])])
+    )
+
+    pipeline = CalibrationPipeline()
+    pipeline.add_stage(IntrinsicStage())
+    pipeline.add_stage(HandEyeCalibrationStage())
+    pipeline.add_stage(BundleAdjustmentStage())
+    report = pipeline.execute(_StaticLoader(ds), ctx)
+
+    assert report.success, [s.summary for s in report.stages]
+    assert report.stages[0].name == "intrinsics"
+    assert report.stages[1].summary["status"] == "ok"
+    he = ctx.handeye_results["rig0"]["cam0"]
+    assert synth.rot_err_deg(he.g_se3_c, sim["g_se3_c"]) < 0.2
+    br = ctx.bundle_results["rig0"]
+    assert synth.rot_err_deg(br.g_se3_c[0], sim["g_se3_c"]) < 0.05
+    assert synth.trans_err(br.b_se3_t, sim["b_se3_t"]) < 1e-3
+    # artifacts shape
+    assert "hand_eye" in ctx.artifacts and "bundle" in ctx.artifacts
+    assert "sensors" in ctx.artifacts["hand_eye"]["rig0"]
+
+
+def test_handeye_stage_missing_config():
+    ds, _, _ = _handeye_dataset(num_poses=4)
+    ctx = PipelineContext()
+    ctx.set_intrinsics_config(_intrinsics_config())
+    pipeline = CalibrationPipeline()
+    pipeline.add_stage(IntrinsicStage())
+    pipeline.add_stage(HandEyeCalibrationStage())
+    report = pipeline.execute(_StaticLoader(ds), ctx)
+    assert not report.success
+    assert report.stages[1].summary["status"] == "missing_config"
+
+
+def test_linescan_facade():
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    # laser plane in camera frame
+    plane_n = np.array([0.1, -0.85, 0.52])
+    plane_n /= np.linalg.norm(plane_n)
+    plane_d = -0.45
+
+    views = []
+    rng = np.random.default_rng(4)
+    for k in range(3):
+        pose = synth.euler_pose(0.2 - 0.1 * k, -0.1 + 0.08 * k, 0.05, [0.02 * k, -0.01, 0.9 + 0.1 * k])
+        uv = synth.render_pixels(intr, pose[None], obj)[0]
+        # laser points: intersection of laser plane with target plane z=0 (in target frame)
+        # param: target plane in camera frame via pose; sample points on the intersection line
+        r, t = pose[:3, :3], pose[:3, 3]
+        # line of intersection of laser plane with target plane (z_t = 0):
+        # X_c = R [x, y, 0]^T + t ; n . X_c + d = 0 -> a x + b y + c = 0 in target coords
+        a = plane_n @ r[:, 0]
+        b = plane_n @ r[:, 1]
+        c = plane_n @ t + plane_d
+        xs = np.linspace(-0.12, 0.12, 25)
+        ys = (-c - a * xs) / b
+        pts_t = np.stack([xs, ys, np.zeros_like(xs)], -1)
+        pts_c = pts_t @ r.T + t
+        laser_uv = np.asarray(pinhole.project(jnp.asarray(intr), jnp.asarray(pts_c)))
+        views.append(LineScanViewData(obj, uv, laser_uv))
+
+    run = LinescanCalibrationFacade().calibrate(intr, views, LinescanCalibrationOptions())
+    assert run.success
+    plane = run.result.plane
+    if plane[:3] @ plane_n < 0:
+        plane = -plane
+    np.testing.assert_allclose(plane[:3], plane_n, atol=2e-3)
+    np.testing.assert_allclose(plane[3], plane_d, atol=2e-3)
+    assert run.result.rms_error < 1e-3
+
+
+def test_linescan_facade_too_few_views():
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    run = LinescanCalibrationFacade().calibrate(
+        intr, [LineScanViewData(obj, obj, np.zeros((3, 2)))]
+    )
+    assert not run.success
