@@ -1,0 +1,87 @@
+"""Native dataset codec tests (C++ JSON parse + pack via ctypes)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from calibration_tpu.native import available, load_detections_packed
+
+pytestmark = pytest.mark.skipif(not available(), reason="no native toolchain")
+
+
+def _payload(n_images=3, base_points=5):
+    return {
+        "sensor_id": "cam0",
+        "feature_type": "synthetic",
+        "tags": ["synthetic"],
+        "images": [
+            {
+                "file": f"img_{i}.png",
+                "points": [
+                    {"x": 1.0 * i + j, "y": 2.0 + j, "id": j, "local_x": 0.1 * j,
+                     "local_y": 0.2 * j, "local_z": 0.0}
+                    for j in range(base_points + i)
+                ],
+            }
+            for i in range(n_images)
+        ],
+    }
+
+
+def test_pack_shapes_and_values():
+    p = load_detections_packed(json.dumps(_payload()))
+    assert p.sensor_id == "cam0"
+    assert p.tags == ["synthetic"]
+    assert p.obj_xy.shape == (3, 7, 2)
+    assert list(p.mask.sum(axis=1)) == [5, 6, 7]
+    assert p.img_uv[1, 2, 0] == 3.0
+    np.testing.assert_allclose(p.obj_xy[2, 3], [0.3, 0.6])
+    assert p.point_ids[0, 4] == 4 and p.point_ids[0, 5] == -1
+    # padded slots zeroed
+    assert p.img_uv[0, 5:].sum() == 0.0
+
+
+def test_min_points_filter():
+    p = load_detections_packed(json.dumps(_payload()), min_points=6)
+    assert p.obj_xy.shape[0] == 2
+    assert p.files == ["img_1.png", "img_2.png"]
+
+
+def test_legacy_positional_keys():
+    legacy = {
+        "field_4": "legacyCam",
+        "field_8": [
+            {"field_0": "a.png", "field_1": [
+                {"field_0": 9.0, "field_1": 8.0, "field_2": 1,
+                 "field_3": 0.5, "field_4": 0.25, "field_5": 0.0}]}
+        ],
+    }
+    p = load_detections_packed(json.dumps(legacy))
+    assert p.sensor_id == "legacyCam"
+    assert p.img_uv[0, 0, 0] == 9.0 and p.obj_xy[0, 0, 1] == 0.25
+
+
+def test_matches_python_loader(tmp_path):
+    from calibration_tpu.io import jsonio
+    from calibration_tpu.pipeline.dataset import PlanarDetections
+
+    payload = _payload(4, 6)
+    det = jsonio.from_jsonable(payload, PlanarDetections)
+    obj_py, uv_py, mask_py, files_py = det.packed()
+    p = load_detections_packed(json.dumps(payload))
+    np.testing.assert_array_equal(p.obj_xy, obj_py)
+    np.testing.assert_array_equal(p.img_uv, uv_py)
+    np.testing.assert_array_equal(p.mask, mask_py)
+    assert p.files == files_py
+
+
+def test_malformed_json():
+    with pytest.raises(ValueError):
+        load_detections_packed('{"sensor_id": "x", "images": [')
+
+
+def test_unicode_and_escapes():
+    payload = {"sensor_id": "càm\\0", "images": []}
+    p = load_detections_packed(json.dumps(payload))
+    assert p.sensor_id == "càm\\0"
