@@ -16,6 +16,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+
+def _spd_solve(a, b):
+    # Cholesky solve: TPU f64 has no LU expander (ops/linalg.py rationale);
+    # local copy avoids a models -> ops import cycle.
+    from jax.scipy.linalg import cho_solve
+
+    low = jnp.linalg.cholesky(a)
+    return cho_solve((low, True), b)
+
 MIN_FIT_OBSERVATIONS = 8  # distortion.h:236
 UNDISTORT_ITERS = 5  # distortion.h:127
 
@@ -140,7 +149,7 @@ def fit_distortion_full(
     free_outer = free[..., :, None] * free[..., None, :]
     sys = ata * free_outer + jnp.diag(1.0 - free) + ridge * jnp.eye(d, dtype=a.dtype)
     rhs = atb * free
-    alpha_free = jnp.linalg.solve(sys, rhs)
+    alpha_free = _spd_solve(sys, rhs)
     alpha = alpha_free * free + fixed_values
     residuals = a @ alpha - b if a.ndim == 2 else jnp.einsum("...ij,...j->...i", a, alpha) - b
     ok = (count >= MIN_FIT_OBSERVATIONS) & jnp.all(jnp.isfinite(alpha), axis=-1)

@@ -9,6 +9,7 @@ hypotheses/views run as one batched SVD on the accelerator.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from . import linalg
 
 MIN_SAMPLES = 4  # homographyestimator.h:20
 COLLINEARITY_EPS = 1e-6  # homographyestimator.cpp:107
@@ -70,7 +71,7 @@ def estimate_homography_dlt(src, dst, mask=None):
     src_n, t_src = normalize_points_2d(src, mask)
     dst_n, t_dst = normalize_points_2d(dst, mask)
     h_norm = dlt_homography_normalized(src_n, dst_n, mask)
-    h = jnp.linalg.inv(t_dst) @ h_norm @ t_src
+    h = linalg.inv3(t_dst) @ h_norm @ t_src
     h22 = h[..., 2:3, 2:3]
     return jnp.where(jnp.abs(h22) > 1e-15, h / jnp.where(jnp.abs(h22) > 1e-15, h22, 1.0), h)
 
@@ -87,7 +88,7 @@ def symmetric_transfer_error(h, src, dst):
 
     sqrt(0.5 * (|dst - H src|^2 + |src - H^-1 dst|^2)) per point.
     """
-    hinv = jnp.linalg.inv(h)
+    hinv = linalg.inv3(h)
     dst_hat = apply_homography(h, src)
     src_hat = apply_homography(hinv, dst)
     e1 = jnp.sum((dst - dst_hat) ** 2, axis=-1)

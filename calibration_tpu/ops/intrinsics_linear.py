@@ -7,6 +7,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from . import linalg
 
 from ..models import camera_matrix as cm
 from ..models import distortion as dist
@@ -69,7 +70,7 @@ def estimate_intrinsics_linear(xy, uv, mask=None, bounds=None, use_skew: bool = 
     def solve(a, b):
         s = jnp.linalg.svd(a, compute_uv=False)
         ok = s[..., -1] >= 1e-12  # intrinsicsdlt.cpp:199
-        sol = jnp.linalg.lstsq(a, b)[0]
+        sol = linalg.svd_lstsq(a, b)
         return sol, ok
 
     xu, ok_u = solve(au, u)

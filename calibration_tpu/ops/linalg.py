@@ -9,10 +9,67 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+_SVD_RCOND = 1e-15
+
+
+def inv3(m):
+    """Closed-form 3x3 inverse via adjugate.
+
+    XLA:TPU's LuDecomposition expander only supports f32/c64, so the f64
+    compute path must never emit `jnp.linalg.inv`/`solve` — every 3x3
+    inverse in the geometry code goes through this instead.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], -1),
+            jnp.stack([co10, co11, co12], -1),
+            jnp.stack([co20, co21, co22], -1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def svd_lstsq(a, b, rcond: float = _SVD_RCOND):
+    """Minimum-norm least squares via SVD (TPU-f64 safe; jnp.linalg.lstsq
+    lowers to LU-based paths on some backends)."""
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    cutoff = rcond * jnp.max(s, axis=-1, keepdims=True)
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.where(s > cutoff, s, 1.0), 0.0)
+    utb = jnp.einsum("...ij,...i->...j", u, b)
+    return jnp.einsum("...ij,...i->...j", vt, utb * s_inv)
+
+
+def spd_solve(a, b):
+    """Solve SPD system via Cholesky + triangular solves (TPU-f64 safe)."""
+    from jax.scipy.linalg import cho_solve
+
+    low = jnp.linalg.cholesky(a)
+    return cho_solve((low, True), b)
+
+
+def spd_inverse(a):
+    """Inverse of an SPD matrix via Cholesky."""
+    eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)
+    return spd_solve(a, eye)
+
 
 def solve_llsq(a, b):
     """Least-squares solve via SVD (se3_utils.h:53-55)."""
-    return jnp.linalg.lstsq(a, b)[0]
+    return svd_lstsq(a, b)
 
 
 def ridge_llsq(a, b, lam: float = 1e-10):
@@ -20,7 +77,7 @@ def ridge_llsq(a, b, lam: float = 1e-10):
     n = a.shape[-1]
     ata = jnp.einsum("...ki,...kj->...ij", a, a) + lam * jnp.eye(n, dtype=a.dtype)
     atb = jnp.einsum("...ki,...k->...i", a, b)
-    return jnp.linalg.solve(ata, atb)
+    return spd_solve(ata, atb)
 
 
 def smallest_singular_vector(a):

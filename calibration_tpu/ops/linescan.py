@@ -9,6 +9,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from . import linalg
 
 from . import homography as H
 from . import planarpose, planefit, se3
@@ -25,7 +26,7 @@ def build_plane_homography(plane):
     e2 = jnp.cross(nvec, e1)
     e2 = e2 / jnp.linalg.norm(e2)
     plane_to_norm = jnp.stack([e1, e2, p0], axis=-1)
-    return jnp.linalg.inv(plane_to_norm)
+    return linalg.inv3(plane_to_norm)
 
 
 def points_from_view(obj_xy, target_norm_uv, laser_norm_uv, target_mask=None):
@@ -39,7 +40,7 @@ def points_from_view(obj_xy, target_norm_uv, laser_norm_uv, target_mask=None):
     hm = H.estimate_homography_dlt(obj_xy, target_norm_uv, target_mask)
     ok = jnp.all(jnp.isfinite(hm))
     pose = planarpose.pose_from_homography_normalized(hm)
-    h_norm_to_obj = jnp.linalg.inv(hm)
+    h_norm_to_obj = linalg.inv3(hm)
     h22 = h_norm_to_obj[2, 2]
     h_norm_to_obj = jnp.where(jnp.abs(h22) > 1e-15, h_norm_to_obj / h22, h_norm_to_obj)
 

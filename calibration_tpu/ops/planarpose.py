@@ -5,6 +5,7 @@ src/estimation/linear/planarpose_linear.cpp, include/calib/estimation/linear/pla
 from __future__ import annotations
 
 import jax.numpy as jnp
+from . import linalg
 
 from ..models import camera_matrix as cm
 from . import homography as H
@@ -58,7 +59,7 @@ def pose_from_homography_pixel(kmtx, hmtx):
 
     Returns (pose (...,4,4), scale, cond_check, ok).
     """
-    kinv = jnp.linalg.inv(cm.matrix(kmtx))
+    kinv = linalg.inv3(cm.matrix(kmtx))
     hn = kinv @ hmtx
     n1 = jnp.linalg.norm(hn[..., :, 0], axis=-1)
     n2 = jnp.linalg.norm(hn[..., :, 1], axis=-1)

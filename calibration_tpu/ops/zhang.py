@@ -9,6 +9,7 @@ untouched.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from . import linalg
 
 
 def _v_ij(h, i, j):
@@ -80,7 +81,7 @@ def _kmtx_from_dual_conic_try(bm):
     u = jnp.swapaxes(low, -1, -2)
     ok = jnp.all(jnp.isfinite(low), axis=(-2, -1))
     u_safe = jnp.where(ok[..., None, None], u, jnp.broadcast_to(jnp.eye(3, dtype=bm.dtype), u.shape))
-    k = jnp.linalg.inv(u_safe)
+    k = linalg.inv3(u_safe)
     k22 = k[..., 2, 2]
     ok = ok & (jnp.abs(k22) > 1e-15) & jnp.all(jnp.isfinite(k), axis=(-2, -1))
     k = k / jnp.where(jnp.abs(k22) > 1e-15, k22, 1.0)[..., None, None]

@@ -20,6 +20,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from ..ops import linalg
 
 from .core import OptimOptions
 from .manifold import ProductManifold
@@ -161,7 +162,7 @@ def lm_core(
 
         diag = jnp.clip(jnp.diagonal(a), 1e-12, 1e32) * tan_free + (1.0 - tan_free)
         sys = a + mu * jnp.diag(diag) + jnp.diag(1.0 - tan_free)
-        delta = -jnp.linalg.solve(sys, g)
+        delta = -linalg.spd_solve(sys, g)
         delta = delta * tan_free
         delta_ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(delta_ok, delta, 0.0)
@@ -253,7 +254,7 @@ def covariance(
     r = rt(zero)
     jac = jax.jacfwd(rt)(zero) * tan_free[None, :]
     a = jac.T @ jac + jnp.diag(1.0 - tan_free)
-    c_t = jnp.linalg.inv(a)
+    c_t = linalg.spd_inverse(a)
     c_t = c_t * tan_free[:, None] * tan_free[None, :]
     d = manifold.lift_jacobian(x)
     cov = d @ c_t @ d.T

@@ -63,7 +63,7 @@ def test_fit_distortion_insufficient():
 def test_fit_distortion_masked_matches_subset():
     rng = np.random.default_rng(5)
     xy = np.asarray(rng.uniform(-0.4, 0.4, (30, 2)))
-    uv = np.asarray(cm.denormalize(K, dist.apply_distortion(jnp.asarray(xy), COEFFS)))
+    uv = np.array(cm.denormalize(K, dist.apply_distortion(jnp.asarray(xy), COEFFS)))
     uv += rng.normal(0, 0.05, uv.shape)
     mask = np.ones(30, bool)
     mask[20:] = False

@@ -1,0 +1,70 @@
+"""Mesh-sharded batched solver tests on the 8-device virtual CPU mesh
+(the multi-chip path: data parallelism over calibration problems)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import synth
+from calibration_tpu.optim import OptimOptions
+from calibration_tpu.parallel import batched, sharding as sh
+from calibration_tpu.ops import homography as H
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _homography_problems(b, n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    hs, srcs, dsts = [], [], []
+    for i in range(b):
+        h = np.array([[1.0 + 0.05 * i, 0.02, 5.0 * i], [-0.01, 0.95, 3.0], [1e-4, -1e-4, 1.0]])
+        src = rng.uniform(-2, 2, (n, 2))
+        dst = np.asarray(H.apply_homography(jnp.asarray(h), jnp.asarray(src)))
+        hs.append(h); srcs.append(src); dsts.append(dst)
+    return np.stack(hs), np.stack(srcs), np.stack(dsts)
+
+
+def test_homography_batch_sharded():
+    hs, src, dst = _homography_problems(8)
+    mesh = sh.make_mesh()
+    out, hm, cov, cov_ok = batched.homography_batch(
+        src, dst, options=OptimOptions(max_iterations=50, compute_covariance=False), mesh=mesh
+    )
+    hm = np.asarray(hm)
+    for i in range(8):
+        np.testing.assert_allclose(hm[i], hs[i], atol=1e-8)
+    assert np.asarray(out.success).all()
+
+
+def test_pad_batch():
+    tree = {"a": np.arange(10)[:, None].repeat(3, 1)}
+    padded, real = sh.pad_batch(tree, 8)
+    assert real == 10
+    assert padded["a"].shape[0] == 16
+
+
+def test_intrinsics_batch_sharded():
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    poses = synth.circle_views(6)
+    uv = synth.render_pixels(intr, poses, obj)
+    b = 8
+    obj_b = np.tile(obj[None, None], (b, 6, 1, 1))
+    uv_b = np.tile(uv[None], (b, 1, 1, 1))
+
+    from calibration_tpu.optim import IntrinsicsOptimOptions
+
+    mesh = sh.make_mesh()
+    seed, out = batched.intrinsics_batch(
+        obj_b, uv_b,
+        opts=IntrinsicsOptimOptions(core=OptimOptions(max_iterations=40, compute_covariance=False)),
+        mesh=mesh,
+    )
+    lm_out, intr_est, pose_est, view_err, cov, cov_ok = out
+    intr_est = np.asarray(intr_est)
+    assert intr_est.shape == (b, 10)
+    np.testing.assert_allclose(intr_est[:, :4], np.tile(intr[:4], (b, 1)), atol=1e-4)
+    assert np.asarray(view_err).max() < 1e-5
