@@ -13,7 +13,7 @@ def _homography_with_outliers(n_in=60, n_out=15, noise=0.0, seed=42):
     rng = np.random.default_rng(seed)
     h = np.array([[1.05, 0.08, 15.0], [-0.03, 0.98, -4.0], [1e-4, -5e-5, 1.0]])
     src = rng.uniform(-3, 3, (n_in + n_out, 2))
-    dst = np.asarray(H.apply_homography(jnp.asarray(h), jnp.asarray(src)))
+    dst = np.array(H.apply_homography(jnp.asarray(h), jnp.asarray(src)))
     if noise:
         dst += rng.normal(0, noise, dst.shape)
     outlier_idx = rng.choice(n_in + n_out, n_out, replace=False)
@@ -64,8 +64,8 @@ def test_ransac_plane():
     plane = np.asarray(res.model)
     if plane[:3] @ n < 0:
         plane = -plane
-    np.testing.assert_allclose(plane[:3], n, atol=1e-8)
-    np.testing.assert_allclose(plane[3], d, atol=1e-8)
+    np.testing.assert_allclose(plane[:3], n, atol=1e-6)
+    np.testing.assert_allclose(plane[3], d, atol=1e-6)
     assert int(res.inlier_count) == 60
 
 
