@@ -14,10 +14,22 @@ from . import se3
 
 def pose_from_homography_normalized(hmtx):
     """Decompose normalized-coords homography H = [r1 r2 t]
-    (planarpose_linear.cpp:17-52). hmtx: (..., 3, 3) -> (..., 4, 4)."""
-    h1 = hmtx[..., :, 0]
-    h2 = hmtx[..., :, 1]
-    h3 = hmtx[..., :, 2]
+    (planarpose_linear.cpp:17-52). hmtx: (..., 3, 3) -> (..., 4, 4).
+
+    Sign disambiguation: H is only defined up to sign; the physical solution
+    has the target origin in front of the camera (t_z > 0). The negation is
+    applied to (h1, h2, h3) BEFORE forming r3 = r1 x r2 so the result stays a
+    proper rotation — the reference instead negates the finished rotation
+    matrix when R(2,2) < 0 (planarpose_linear.cpp:47-50), which produces a
+    det = -1 reflection whenever that branch fires (a latent reference bug;
+    its test geometries never trigger it — SURVEY.md section 7 hard parts).
+    """
+    # resolve the sign ambiguity first: t_z = h3_z / s must be positive
+    sign = jnp.where(hmtx[..., 2, 2] < 0, -1.0, 1.0)
+    hm = hmtx * sign[..., None, None]
+    h1 = hm[..., :, 0]
+    h2 = hm[..., :, 1]
+    h3 = hm[..., :, 2]
     s = jnp.sqrt(jnp.linalg.norm(h1, axis=-1) * jnp.linalg.norm(h2, axis=-1))
     s = jnp.where(s < 1e-12, 1.0, s)
     r1 = h1 / s[..., None]
@@ -33,9 +45,6 @@ def pose_from_homography_normalized(hmtx):
     rot = jnp.where((det < 0)[..., None, None], u @ v_fix, rot)
 
     t = h3 / s[..., None]
-    flip = rot[..., 2, 2] < 0
-    rot = jnp.where(flip[..., None, None], -rot, rot)
-    t = jnp.where(flip[..., None], -t, t)
     return se3.make_se3(rot, t)
 
 
@@ -68,14 +77,16 @@ def pose_from_homography_pixel(kmtx, hmtx):
     scale = 1.0 / jnp.maximum((n1 + n2) * 0.5, eps)
     cond = jnp.where(n1 > n2, n1 / jnp.maximum(n2, eps), n2 / jnp.maximum(n1, eps))
 
-    r1 = scale[..., None] * hn[..., :, 0]
-    r2 = scale[..., None] * hn[..., :, 1]
+    # sign disambiguation before forming r3 (t_z > 0; same latent-reflection
+    # fix as pose_from_homography_normalized — the reference negates the
+    # orthonormalized rotation, posefromhomography.cpp:57-63)
+    sign = jnp.where(hn[..., 2, 2] <= 0, -1.0, 1.0)
+    hs = hn * sign[..., None, None]
+    r1 = scale[..., None] * hs[..., :, 0]
+    r2 = scale[..., None] * hs[..., :, 1]
     r3 = jnp.cross(r1, r2)
     rot = se3.project_to_so3(jnp.stack([r1, r2, r3], axis=-1))
-    t = scale[..., None] * hn[..., :, 2]
-    flip = t[..., 2] <= 0
-    rot = jnp.where(flip[..., None, None], -rot, rot)
-    t = jnp.where(flip[..., None], -t, t)
+    t = scale[..., None] * hs[..., :, 2]
     return se3.make_se3(rot, t), scale, cond, ok
 
 

@@ -165,12 +165,14 @@ def main(outdir="examples/data"):
     he_images = []
     he_obs = []
     for i in range(12):
-        w = rng.uniform(-0.5, 0.5, 3)
-        t = rng.uniform(-0.25, 0.25, 3) + [0, 0, 0.6]
-        bg = np.eye(4)
-        bg[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(w)))
-        bg[:3, 3] = t
-        ct = np.linalg.inv(g_se3_c) @ np.linalg.inv(bg) @ b_se3_t
+        # physical construction: camera views the target (t_z > 0); the
+        # gripper pose follows from bg = bt * ct^-1 * g^-1
+        w = rng.uniform(-0.4, 0.4, 3)
+        t = rng.uniform(-0.08, 0.08, 3) + [0, 0, 0.7]
+        ct = np.eye(4)
+        ct[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        ct[:3, 3] = t
+        bg = b_se3_t @ np.linalg.inv(ct) @ np.linalg.inv(g_se3_c)
         uv = render(intr, ct)
         he_images.append(
             {

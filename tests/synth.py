@@ -69,8 +69,13 @@ def render_pixels(intr, c_se3_t, obj_xy, noise=0.0, rng=None):
     return uv
 
 
-def make_handeye_sequence(num_poses=12, rng=None, angle_amp=0.5, trans_amp=0.25):
-    """Random gripper trajectory + consistent cam poses (utils.h:203-221).
+def make_handeye_sequence(num_poses=12, rng=None, angle_amp=0.4, trans_amp=0.08):
+    """Gripper trajectory with the camera always facing the target
+    (utils.h:203-221). Physical construction: draw camera->target views
+    (target in front, t_z > 0, varied rotations for AX=XB excitation) and
+    derive the gripper poses b_se3_g = b_se3_t * (c_se3_t)^-1 * (g_se3_c)^-1
+    — randomizing b_se3_g directly can put the target behind the camera,
+    which renders to pixels no real detector would produce.
 
     Returns dict with ground truth: g_se3_c (hand-eye), b_se3_t (base->target),
     b_se3_g list, c_se3_t list.
@@ -82,12 +87,11 @@ def make_handeye_sequence(num_poses=12, rng=None, angle_amp=0.5, trans_amp=0.25)
     c_se3_t = []
     for _ in range(num_poses):
         ang = rng.uniform(-angle_amp, angle_amp, 3)
-        tr = rng.uniform(-trans_amp, trans_amp, 3) + np.array([0.0, 0.0, 0.6])
-        bg = euler_pose(*ang, tr)
-        b_se3_g.append(bg)
-        # c_se3_t = (g_se3_c)^-1 (b_se3_g)^-1 b_se3_t
-        ct = np.linalg.inv(g_se3_c) @ np.linalg.inv(bg) @ b_se3_t
+        tr = rng.uniform(-trans_amp, trans_amp, 3) + np.array([0.0, 0.0, 0.7])
+        ct = euler_pose(*ang, tr)
         c_se3_t.append(ct)
+        bg = b_se3_t @ np.linalg.inv(ct) @ np.linalg.inv(g_se3_c)
+        b_se3_g.append(bg)
     return {
         "g_se3_c": g_se3_c,
         "b_se3_t": b_se3_t,
