@@ -124,3 +124,40 @@ def symmetric_rms_px(h, src, dst, inlier_mask):
     w = inlier_mask.astype(r.dtype)
     cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
     return jnp.sqrt(jnp.sum(r * w, axis=-1) / (2.0 * cnt))
+
+
+def estimate_homography(obj_xy, img_uv, mask=None, ransac_options=None):
+    """DLT-on-all or RANSAC homography with diagnostics — the
+    `estimate_homography` entry point (include/calib/estimation/linear/
+    homography.h:15-24; impl src/estimation/optim/homography.cpp:30-73).
+
+    Returns a dict mirroring HomographyResult: {"success", "hmtx",
+    "inlier_mask", "symmetric_rms_px"}.
+    """
+    import jax.numpy as jnp
+
+    obj_xy = jnp.asarray(obj_xy)
+    img_uv = jnp.asarray(img_uv)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], bool)
+    mask = jnp.asarray(mask)
+
+    if ransac_options is not None:
+        from .ransac import ransac_homography
+
+        rr = ransac_homography(obj_xy, img_uv, ransac_options, mask=mask)
+        return {
+            "success": rr.success,
+            "hmtx": rr.model,
+            "inlier_mask": rr.inlier_mask,
+            "symmetric_rms_px": symmetric_rms_px(rr.model, obj_xy, img_uv, rr.inlier_mask),
+        }
+
+    h = estimate_homography_dlt(obj_xy, img_uv, mask)
+    ok = (jnp.sum(mask) >= MIN_SAMPLES) & jnp.all(jnp.isfinite(h))
+    return {
+        "success": ok,
+        "hmtx": h,
+        "inlier_mask": mask,
+        "symmetric_rms_px": symmetric_rms_px(h, obj_xy, img_uv, mask),
+    }
