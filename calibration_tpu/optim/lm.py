@@ -161,8 +161,14 @@ def lm_core(
         gtol_hit = grad_max <= eps
 
         diag = jnp.clip(jnp.diagonal(a), 1e-12, 1e32) * tan_free + (1.0 - tan_free)
-        sys = a + mu * jnp.diag(diag) + jnp.diag(1.0 - tan_free)
-        delta = -linalg.spd_solve(sys, g)
+        # Jacobi-scaled damped normal equations: with D = diag(A)^-1/2 the
+        # scaled system has unit diagonal, so Marquardt damping is mu*I and
+        # the Cholesky sees condition ~cond(D A D) instead of cond(A) —
+        # parameters here span ~1e-4 (tangential coeffs) to ~1e3 (focals).
+        d = jnp.where(tan_free > 0, 1.0 / jnp.sqrt(diag), 0.0)
+        a_s = d[:, None] * a * d[None, :] + jnp.diag(1.0 - tan_free)
+        sys = a_s + mu * jnp.diag(tan_free)
+        delta = -d * linalg.spd_solve(sys, d * g)
         delta = delta * tan_free
         delta_ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(delta_ok, delta, 0.0)
