@@ -26,11 +26,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 
+def _np_exp_so3(w):
+    th = np.linalg.norm(w, axis=-1, keepdims=True)
+    th = np.where(th < 1e-12, 1.0, th)
+    a = w / th
+    th = th[..., 0]
+    K = np.zeros(w.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -a[..., 2], a[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = a[..., 2], -a[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -a[..., 1], a[..., 0]
+    s = np.sin(th)[..., None, None]
+    c = (1 - np.cos(th))[..., None, None]
+    return np.eye(3) + s * K + c * (K @ K)
+
+
 def make_problems(batch, views=10, rows=8, cols=11, noise=0.2, seed=7):
     import jax.numpy as jnp
 
     from calibration_tpu.models import pinhole
-    from calibration_tpu.ops import se3
 
     rng = np.random.default_rng(seed)
     n = rows * cols
@@ -42,16 +55,17 @@ def make_problems(batch, views=10, rows=8, cols=11, noise=0.2, seed=7):
     dist = np.array([-0.15, 0.05, 0.0, 1e-4, -2e-4])
     intr = np.concatenate([kmtx, dist])
 
+    ang = 2 * np.pi * np.arange(views)[None, :] / views + 0.05 * np.arange(batch)[:, None]
+    w = np.stack(
+        [0.3 * np.cos(ang), 0.3 * np.sin(ang), 0.1 * np.sin(2 * ang)], axis=-1
+    )
+    t = np.stack(
+        [0.06 * np.cos(ang), 0.06 * np.sin(ang), 0.9 + 0.08 * np.sin(ang)], axis=-1
+    )
     poses = np.zeros((batch, views, 4, 4))
-    for b in range(batch):
-        for v in range(views):
-            ang = 2 * np.pi * v / views + 0.05 * b
-            w = np.array([0.3 * np.cos(ang), 0.3 * np.sin(ang), 0.1 * np.sin(2 * ang)])
-            t = np.array([0.06 * np.cos(ang), 0.06 * np.sin(ang), 0.9 + 0.08 * np.sin(ang)])
-            m = np.eye(4)
-            m[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(w)))
-            m[:3, 3] = t
-            poses[b, v] = m
+    poses[..., :3, :3] = _np_exp_so3(w)
+    poses[..., :3, 3] = t
+    poses[..., 3, 3] = 1.0
 
     obj3 = np.concatenate([obj, np.zeros((n, 1))], -1)
     pts_c = np.einsum("bvij,nj->bvni", poses[:, :, :3, :3], obj3) + poses[:, :, None, :3, 3]
