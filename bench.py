@@ -86,6 +86,7 @@ def tpu_throughput(obj, uv, repeats=3):
     opts = IntrinsicsOptimOptions(
         core=OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
     )
+    precision = os.environ.get("BENCH_PRECISION", "f64")
 
     @jax.jit
     def solve(obj, uv):
@@ -94,7 +95,9 @@ def tpu_throughput(obj, uv, repeats=3):
         intr0 = jnp.concatenate(
             [seed.kmtx, jnp.zeros(seed.kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
         )
-        fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(o, u, i0, p0, mask=m, opts=opts)
+        fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
+            o, u, i0, p0, mask=m, opts=opts, precision=precision
+        )
         out, intr, poses, view_errors, cov, cov_ok = jax.vmap(fn)(obj, uv, mask, intr0, seed.c_se3_t)
         return intr, out.cost, view_errors, cov
 

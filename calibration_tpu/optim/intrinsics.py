@@ -68,9 +68,16 @@ def optimize_intrinsics_device(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: IntrinsicsOptimOptions | None = None,
+    precision: str = "f64",
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, N, 2); init_intr: (pc,);
-    init_poses: (V, 4, 4); mask: (V, N)."""
+    init_poses: (V, 4, 4); mask: (V, N).
+
+    precision="mixed" runs most LM iterations in float32 (native TPU speed;
+    the Jacobi-scaled normal equations keep the f32 Cholesky conditioned)
+    and polishes in float64 to the full epsilon — same accuracy, a fraction
+    of the f64-emulation cost.
+    """
     opts = opts or IntrinsicsOptimOptions()
     v, n = obj_xy.shape[0], obj_xy.shape[1]
     pc = model.param_count
@@ -91,6 +98,24 @@ def optimize_intrinsics_device(
     block_ids = jnp.repeat(jnp.arange(v, dtype=jnp.int32), 2 * n)
 
     res_fn = lambda x: _residual_flat(model, x, obj_xy, img_uv, mask, pc, v)
+
+    if precision == "mixed":
+        obj32 = obj_xy.astype(jnp.float32)
+        uv32 = img_uv.astype(jnp.float32)
+        mask32 = mask.astype(jnp.float32)
+        res32 = lambda x: _residual_flat(model, x, obj32, uv32, mask32, pc, v)
+        coarse = dataclasses.replace(
+            opts.core, epsilon=max(1e-5, opts.core.epsilon),
+            max_iterations=min(30, opts.core.max_iterations),
+        )
+        out32 = lm.lm_core(
+            res32, x0.astype(jnp.float32), manifold, options=coarse,
+            free_mask=free, block_ids=block_ids, num_blocks=v,
+            lower=None if lower is None else lower.astype(jnp.float32),
+            upper=None if upper is None else upper.astype(jnp.float32),
+        )
+        x0 = out32.x.astype(x0.dtype)
+
     out = lm.lm_core(
         res_fn,
         x0,
