@@ -53,13 +53,13 @@ def homography_batch(obj_xy, img_uv, mask=None, options: OptimOptions = OptimOpt
     return _homography_batch_jit(*args, options)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "model_name"))
-def _intrinsics_batch_jit(obj, uv, mask, init_intr, init_poses, opts, model_name):
+@functools.partial(jax.jit, static_argnames=("opts", "model_name", "precision"))
+def _intrinsics_batch_jit(obj, uv, mask, init_intr, init_poses, opts, model_name, precision):
     from ..models.registry import get_model
 
     model = get_model(model_name)
     fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
-        o, u, i0, p0, mask=m, model=model, opts=opts
+        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision
     )
     return jax.vmap(fn)(obj, uv, mask, init_intr, init_poses)
 
@@ -71,6 +71,7 @@ def intrinsics_batch(
     opts: Optional[IntrinsicsOptimOptions] = None,
     model_name: str = "pinhole_brown_conrady",
     mesh=None,
+    precision: str = "f64",
 ):
     """Full Zhang + LM pipeline for a batch of B cameras.
 
@@ -92,7 +93,7 @@ def intrinsics_batch(
     args = _maybe_shard(
         (obj_xy, img_uv, mask.astype(obj_xy.dtype), init_intr, seed.c_se3_t), mesh
     )
-    out = _intrinsics_batch_jit(*args, opts, model_name)
+    out = _intrinsics_batch_jit(*args, opts, model_name, precision)
     return seed, out
 
 
