@@ -213,3 +213,16 @@ def test_logging_decorator(capsys):
     text = out.getvalue()
     assert "Starting stage 'demo'" in text
     assert "Completed stage 'demo' (success)" in text
+
+
+def test_validate_dataset_schema(tmp_path):
+    from calibration_tpu.io.validate import validate_dataset
+
+    good = {"sensor_id": "c", "images": [{"file": "a.png", "points": [{"x": 1.0, "y": 2.0}]}]}
+    assert validate_dataset(good) == []
+    legacy = {"field_4": "c", "field_8": []}
+    assert validate_dataset(legacy) == []
+    bad = {"images": "nope"}
+    errs = validate_dataset(bad)
+    assert any("sensor_id" in e for e in errs)
+    assert any("images" in e for e in errs)
