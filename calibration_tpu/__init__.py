@@ -20,4 +20,7 @@ _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 
-from . import models, ops, optim  # noqa: E402,F401
+from . import io, models, ops, optim, parallel, utils  # noqa: E402,F401
+
+# pipeline imports facades (heavier); exposed lazily
+from . import pipeline  # noqa: E402,F401
