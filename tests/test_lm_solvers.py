@@ -175,7 +175,7 @@ def test_optimize_handeye_axxb():
     pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
     res = optimize_handeye(sim["b_se3_g"], sim["c_se3_t"], pert, OptimOptions())
     assert res.core.success
-    assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-6
+    assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-5
     assert synth.trans_err(res.g_se3_c, sim["g_se3_c"]) < 1e-6
     assert res.core.covariance is not None
     assert res.core.covariance.shape == (7, 7)
@@ -185,7 +185,7 @@ def test_estimate_and_optimize_handeye():
     sim = synth.make_handeye_sequence(num_poses=10)
     res = estimate_and_optimize_handeye(sim["b_se3_g"], sim["c_se3_t"])
     assert res.core.success
-    assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-6
+    assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-5
 
 
 def test_optimize_bundle_single_camera():
@@ -205,9 +205,9 @@ def test_optimize_bundle_single_camera():
         opts=BundleOptions(),
     )
     assert res.core.success
-    assert synth.rot_err_deg(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
+    assert synth.rot_err_deg(res.g_se3_c[0], sim["g_se3_c"]) < 1e-5
     assert synth.trans_err(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
-    assert synth.rot_err_deg(res.b_se3_t, sim["b_se3_t"]) < 1e-6
+    assert synth.rot_err_deg(res.b_se3_t, sim["b_se3_t"]) < 1e-5
     assert synth.trans_err(res.b_se3_t, sim["b_se3_t"]) < 1e-6
 
 

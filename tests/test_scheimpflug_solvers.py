@@ -67,5 +67,5 @@ def test_scheimpflug_bundle_handeye_recovery():
         opts=BundleOptions(core=OptimOptions(compute_covariance=False)),
     )
     assert res.core.success
-    assert synth.rot_err_deg(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
+    assert synth.rot_err_deg(res.g_se3_c[0], sim["g_se3_c"]) < 1e-5
     assert synth.trans_err(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
