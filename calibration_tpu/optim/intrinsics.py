@@ -69,6 +69,7 @@ def optimize_intrinsics_device(
     model: CameraModelSpec = PINHOLE,
     opts: IntrinsicsOptimOptions | None = None,
     precision: str = "f64",
+    view_valid=None,
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, N, 2); init_intr: (pc,);
     init_poses: (V, 4, 4); mask: (V, N).
@@ -77,6 +78,10 @@ def optimize_intrinsics_device(
     the Jacobi-scaled normal equations keep the f32 Cholesky conditioned)
     and polishes in float64 to the full epsilon — same accuracy, a fraction
     of the f64-emulation cost.
+
+    view_valid: optional (V,) dynamic validity — padded views (shape
+    bucketing) get zero residuals and frozen pose blocks, so one compiled
+    program serves any view count up to V without recompiling.
     """
     opts = opts or IntrinsicsOptimOptions()
     v, n = obj_xy.shape[0], obj_xy.shape[1]
@@ -84,6 +89,8 @@ def optimize_intrinsics_device(
     if mask is None:
         mask = jnp.ones((v, n), obj_xy.dtype)
     mask = jnp.asarray(mask, obj_xy.dtype)
+    if view_valid is not None:
+        mask = mask * jnp.asarray(view_valid, mask.dtype)[:, None]
 
     quats, trans = blocks.poses_to_quat_tran(jnp.asarray(init_poses))
     x0 = blocks.pack_intr_quats_trans(jnp.asarray(init_intr), quats, trans)
@@ -93,6 +100,12 @@ def optimize_intrinsics_device(
     if not opts.optimize_skew:
         free[model.idx_skew] = False
     free = jnp.asarray(free)
+    if view_valid is not None:
+        vv = jnp.asarray(view_valid, bool)
+        pose_free = jnp.concatenate(
+            [jnp.repeat(vv, 4), jnp.repeat(vv, 3)]
+        )
+        free = free & jnp.concatenate([jnp.ones((pc,), bool), pose_free])
 
     lower, upper = _bounds_vectors(pc, v, model, opts, x0.dtype)
     block_ids = jnp.repeat(jnp.arange(v, dtype=jnp.int32), 2 * n)
@@ -153,6 +166,8 @@ def optimize_intrinsics(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: IntrinsicsOptimOptions | None = None,
+    precision: str = "f64",
+    view_valid=None,
 ):
     """Host-facing wrapper (optimize_intrinsics, intrinsics.cpp:99-120).
 
@@ -170,6 +185,8 @@ def optimize_intrinsics(
         mask=mask,
         model=model,
         opts=opts,
+        precision=precision,
+        view_valid=view_valid,
     )
     core = OptimResult(
         success=bool(out.success),

@@ -165,6 +165,19 @@ class PlanarIntrinsicCalibrationFacade:
                 f"Only {len(active)} usable views."
             )
 
+        # shape bucketing: pad views/points so one compiled solver program
+        # serves any dataset in the same bucket (padded views are masked out
+        # and their pose blocks frozen in the LM)
+        from ..planar_utils import bucket_points, bucket_views
+
+        v_real, n_real = obj.shape[0], obj.shape[1]
+        v_pad, n_pad = bucket_views(v_real), bucket_points(n_real)
+        if (v_pad, n_pad) != (v_real, n_real):
+            obj = np.pad(obj, ((0, v_pad - v_real), (0, n_pad - n_real), (0, 0)))
+            uv = np.pad(uv, ((0, v_pad - v_real), (0, n_pad - n_real), (0, 0)))
+            mask = np.pad(mask, ((0, v_pad - v_real), (0, n_pad - n_real)))
+        view_valid = np.arange(v_pad) < v_real
+
         bounds = cfg.options.estim_options.bounds
         if bounds is None and cam_cfg.image_size is not None:
             bounds = bounds_from_image_size(cam_cfg.image_size)
@@ -186,9 +199,10 @@ class PlanarIntrinsicCalibrationFacade:
             jnp.asarray(obj), jnp.asarray(uv), view_mask, bounds=bounds
         )
         # warning counts come back as flags, not captured cerr text
-        out.pose_warnings = int(np.sum(~np.asarray(
+        pose_ok = np.asarray(
             planarpose.pose_from_homography_pixel(linear.kmtx, linear.homographies)[3]
-        )))
+        )
+        out.pose_warnings = int(np.sum(~pose_ok[view_valid]))
         out.invalid_k_warnings = 0 if bool(linear.ok) else 1
         if not bool(linear.ok):
             raise RuntimeError("Linear intrinsic estimation failed to converge.")
@@ -198,14 +212,24 @@ class PlanarIntrinsicCalibrationFacade:
 
         init_intr = pinhole.pack(linear.kmtx, jnp.zeros(5))
         if cfg.options.refine:
-            init_poses = planarpose.estimate_planar_pose(
-                jnp.asarray(obj), jnp.asarray(uv),
-                jnp.broadcast_to(linear.kmtx, (obj.shape[0], 5)), view_mask,
+            init_poses = np.asarray(
+                planarpose.estimate_planar_pose(
+                    jnp.asarray(obj), jnp.asarray(uv),
+                    jnp.broadcast_to(linear.kmtx, (obj.shape[0], 5)), view_mask,
+                )
             )
+            # padded views get a benign frozen pose (keeps residuals finite)
+            safe = np.eye(4)
+            safe[2, 3] = 1.0
+            init_poses[~view_valid] = safe
+            init_poses[~np.isfinite(init_poses).all(axis=(1, 2))] = safe
             refine = optimize_intrinsics(
                 obj, uv, init_intr, init_poses, mask=view_mask,
-                opts=cfg.options.optim_options,
+                opts=cfg.options.optim_options, view_valid=jnp.asarray(view_valid),
             )
+            # trim bucketing padding from per-view outputs
+            refine.c_se3_t = refine.c_se3_t[:v_real]
+            refine.view_errors = refine.view_errors[:v_real]
             if not refine.core.success:
                 print(
                     "Warning: Non-linear refinement did not converge. Using linear result.",

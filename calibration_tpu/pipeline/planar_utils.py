@@ -57,6 +57,24 @@ def make_planar_arrays(image: PlanarImageDetections) -> Tuple[np.ndarray, np.nda
     return obj, uv
 
 
+_VIEW_BUCKETS = (4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def bucket_views(v: int) -> int:
+    """Round a view count up to a small set of buckets so facades reuse one
+    compiled solver program across datasets (compile cost amortization —
+    CLAUDE.md environment notes)."""
+    for b in _VIEW_BUCKETS:
+        if v <= b:
+            return b
+    return ((v + 15) // 16) * 16
+
+
+def bucket_points(n: int, quantum: int = 32) -> int:
+    """Round a per-view point count up to a multiple of ``quantum``."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
 def pad_views(
     views: List[Tuple[np.ndarray, np.ndarray]], pad_to: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
