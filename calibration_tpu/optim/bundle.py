@@ -72,12 +72,16 @@ def optimize_bundle_device(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: BundleOptions | None = None,
+    precision: str = "f64",
 ):
     """Pure-jnp core.
 
     obj_xy/img_uv: (O, N, 2); b_se3_g: (O, 4, 4) constant gripper poses;
     cam_idx: (O,) int; init_intrs: (C, pc); init_g_se3_c: (C, 4, 4);
     init_b_se3_t: (4, 4); mask: (O, N).
+
+    precision="mixed": float32 LM iterations then a float64 polish (see
+    optimize_intrinsics_device).
     """
     opts = opts or BundleOptions()
     o_cnt, n = obj_xy.shape[0], obj_xy.shape[1]
@@ -119,6 +123,20 @@ def optimize_bundle_device(
 
     block_ids = jnp.repeat(jnp.arange(o_cnt, dtype=jnp.int32), 2 * n)
     res_fn = lambda x: _residual(model, x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c)
+
+    if precision == "mixed":
+        args32 = [a.astype(jnp.float32) for a in (obj_xy, img_uv, mask, jnp.asarray(b_se3_g))]
+        res32 = lambda x: _residual(model, x, args32[0], args32[1], args32[2], args32[3], cam_idx, pc, c)
+        coarse = dataclasses.replace(
+            opts.core, epsilon=max(1e-5, opts.core.epsilon),
+            max_iterations=min(30, opts.core.max_iterations),
+        )
+        out32 = lm.lm_core(
+            res32, x0.astype(jnp.float32), manifold, options=coarse, free_mask=free,
+            block_ids=block_ids, num_blocks=o_cnt, lower=lower.astype(jnp.float32),
+        )
+        x0 = out32.x.astype(x0.dtype)
+
     out = lm.lm_core(
         res_fn, x0, manifold, options=opts.core, free_mask=free,
         block_ids=block_ids, num_blocks=o_cnt, lower=lower,
