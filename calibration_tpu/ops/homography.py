@@ -59,8 +59,7 @@ def dlt_homography_normalized(src, dst, mask=None):
     if mask is not None:
         a = a * mask[..., None, None].astype(a.dtype)
     a = a.reshape(a.shape[:-3] + (2 * a.shape[-3], 9))
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    h = vt[..., -1, :]
+    h = linalg.smallest_singular_vector(a)
     hm = h.reshape(h.shape[:-1] + (3, 3))
     return hm / hm[..., 2:3, 2:3]
 

@@ -80,12 +80,23 @@ def ridge_llsq(a, b, lam: float = 1e-10):
     return spd_solve(ata, atb)
 
 
-def smallest_singular_vector(a):
+def smallest_singular_vector(a, via_gram: bool = True):
     """Right singular vector of the smallest singular value of a (..., M, N).
 
     The workhorse of every DLT/null-space estimator. Zeroed rows do not
     perturb the result (they contribute nothing to A^T A).
+
+    ``via_gram`` computes the null vector from the N x N gram matrix A^T A
+    (one MXU matmul + a tiny SVD) instead of an M x N SVD — for the 2Nx9 DLT
+    stacks this is the difference between thousands of tall Jacobi SVDs and
+    a batched matmul. Squares the condition number; with Hartley-normalized
+    systems (cond ~1e3) that is far inside f64 range.
     """
+    m, n = a.shape[-2], a.shape[-1]
+    if via_gram and m > n:
+        g = jnp.einsum("...ki,...kj->...ij", a, a)
+        _, _, vt = jnp.linalg.svd(g)
+        return vt[..., -1, :]
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
     return vt[..., -1, :]
 

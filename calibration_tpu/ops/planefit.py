@@ -20,8 +20,9 @@ def fit_plane_svd(pts, mask=None):
     cnt = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)
     centroid = jnp.sum(pts * w[..., None], axis=-2) / cnt
     a = (pts - centroid[..., None, :]) * w[..., None]
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    normal = vt[..., -1, :]
+    from . import linalg
+
+    normal = linalg.smallest_singular_vector(a)
     d = -jnp.sum(normal * centroid, axis=-1)
     nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     return jnp.concatenate([normal / nrm, (d / nrm[..., 0])[..., None]], axis=-1)

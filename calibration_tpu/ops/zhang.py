@@ -107,8 +107,7 @@ def zhang_intrinsics_from_hs(hs, mask=None):
     hs: (V, 3, 3); mask: optional (V,). Returns (kmtx (...,5), ok).
     """
     vmtx = zhang_design_matrix(hs, mask)
-    _, _, vt = jnp.linalg.svd(vmtx, full_matrices=True)
-    bvec = vt[..., -1, :]
+    bvec = linalg.smallest_singular_vector(vmtx)
     k33, ok = kmtx_from_dual_conic(bvec)
     kvec = jnp.stack(
         [k33[..., 0, 0], k33[..., 1, 1], k33[..., 0, 2], k33[..., 1, 2], k33[..., 0, 1]],
