@@ -107,7 +107,9 @@ def zhang_intrinsics_from_hs(hs, mask=None):
     hs: (V, 3, 3); mask: optional (V,). Returns (kmtx (...,5), ok).
     """
     vmtx = zhang_design_matrix(hs, mask)
-    bvec = linalg.smallest_singular_vector(vmtx)
+    # the 2Vx6 system is tiny (V ~ 10 views) and less well-conditioned
+    # than DLT stacks; keep the full SVD rather than the gram shortcut
+    bvec = linalg.smallest_singular_vector(vmtx, via_gram=False)
     k33, ok = kmtx_from_dual_conic(bvec)
     kvec = jnp.stack(
         [k33[..., 0, 0], k33[..., 1, 1], k33[..., 0, 2], k33[..., 1, 2], k33[..., 0, 1]],
