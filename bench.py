@@ -92,8 +92,9 @@ def tpu_throughput(obj, uv, repeats=3):
     def solve(obj, uv):
         mask = jnp.ones(obj.shape[:-1], obj.dtype)
         seed = jax.vmap(intrinsics_linear.estimate_intrinsics)(obj, uv, mask > 0)
+        seed_kmtx = seed.kmtx.at[..., 4].set(0.0)  # skew frozen at zero
         intr0 = jnp.concatenate(
-            [seed.kmtx, jnp.zeros(seed.kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
+            [seed_kmtx, jnp.zeros(seed_kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
         )
         fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
             o, u, i0, p0, mask=m, opts=opts, precision=precision

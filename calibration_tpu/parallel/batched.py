@@ -87,8 +87,12 @@ def intrinsics_batch(
     mask = jnp.asarray(mask)
 
     seed = jax.vmap(intrinsics_linear.estimate_intrinsics)(obj_xy, img_uv, mask)
+    seed_kmtx = seed.kmtx
+    if not opts.optimize_skew:
+        # frozen skew must start at zero (see facade rationale)
+        seed_kmtx = seed_kmtx.at[..., 4].set(0.0)
     init_intr = jnp.concatenate(
-        [seed.kmtx, jnp.zeros(seed.kmtx.shape[:-1] + (5,), obj_xy.dtype)], axis=-1
+        [seed_kmtx, jnp.zeros(seed_kmtx.shape[:-1] + (5,), obj_xy.dtype)], axis=-1
     )
     args = _maybe_shard(
         (obj_xy, img_uv, mask.astype(obj_xy.dtype), init_intr, seed.c_se3_t), mesh

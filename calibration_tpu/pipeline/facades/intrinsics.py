@@ -210,12 +210,18 @@ class PlanarIntrinsicCalibrationFacade:
         out.linear_kmtx = np.asarray(linear.kmtx)
         out.linear_view_indices = [int(i) for i in np.where(np.asarray(linear.h_ok))[0]]
 
-        init_intr = pinhole.pack(linear.kmtx, jnp.zeros(5))
+        kmtx_init = linear.kmtx
+        if not cfg.options.estim_options.use_skew and not cfg.options.optim_options.optimize_skew:
+            # skew stays frozen in the LM (SubsetManifold semantics); a
+            # spurious Zhang skew would be locked-in model error that biases
+            # fx/fy, so pin it to zero when nobody asked for skew
+            kmtx_init = kmtx_init.at[4].set(0.0)
+        init_intr = pinhole.pack(kmtx_init, jnp.zeros(5))
         if cfg.options.refine:
             init_poses = np.asarray(
                 planarpose.estimate_planar_pose(
                     jnp.asarray(obj), jnp.asarray(uv),
-                    jnp.broadcast_to(linear.kmtx, (obj.shape[0], 5)), view_mask,
+                    jnp.broadcast_to(kmtx_init, (obj.shape[0], 5)), view_mask,
                 )
             )
             # padded views get a benign frozen pose (keeps residuals finite)
