@@ -150,7 +150,7 @@ def fit_distortion_full(
     sys = ata * free_outer + jnp.diag(1.0 - free) + ridge * jnp.eye(d, dtype=a.dtype)
     rhs = atb * free
     alpha_free = _spd_solve(sys, rhs)
-    alpha = alpha_free * free + fixed_values
+    alpha = jnp.where(fixed_mask, fixed_values, alpha_free)
     residuals = a @ alpha - b if a.ndim == 2 else jnp.einsum("...ij,...j->...i", a, alpha) - b
     ok = (count >= MIN_FIT_OBSERVATIONS) & jnp.all(jnp.isfinite(alpha), axis=-1)
     return alpha, residuals, ok

@@ -78,7 +78,7 @@ def test_dual_distortion_inverse():
     xy = jnp.array([[0.2, 0.1], [-0.3, 0.2], [0.05, -0.35]])
     d = dist.apply_distortion(xy, COEFFS)
     u = dist.apply_distortion(d, inv)
-    np.testing.assert_allclose(np.asarray(u), np.asarray(xy), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(xy), atol=5e-3)
 
 
 def test_pinhole_project_unproject():
