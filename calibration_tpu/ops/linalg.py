@@ -96,7 +96,16 @@ def smallest_singular_vector(a, via_gram: bool = True):
     if via_gram and m > n:
         g = jnp.einsum("...ki,...kj->...ij", a, a)
         _, _, vt = jnp.linalg.svd(g)
-        return vt[..., -1, :]
+        v = vt[..., -1, :]
+        # one inverse-power refinement step recovers the accuracy the
+        # squared conditioning cost: solve (G + eps I) w = v, renormalize
+        tr = jnp.trace(g, axis1=-2, axis2=-1)
+        eps = (1e-14 / n) * tr + 1e-300
+        shifted = g + eps[..., None, None] * jnp.eye(n, dtype=a.dtype)
+        w = spd_solve(shifted, v)
+        nrm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        ok = jnp.isfinite(nrm) & (nrm > 0)
+        return jnp.where(ok, w / jnp.where(ok, nrm, 1.0), v)
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
     return vt[..., -1, :]
 
