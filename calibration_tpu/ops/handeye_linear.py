@@ -11,7 +11,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import linalg, se3
+from . import fmath, linalg, se3
 
 
 class MotionPairs(NamedTuple):
@@ -73,15 +73,34 @@ def build_all_pairs(
     return MotionPairs(rot_a, rot_b, tra_a, tra_b, good.astype(base_se3_gripper.dtype))
 
 
+def _modified_rodrigues(rot):
+    """2 sin(theta/2) * axis — the vector for which the Tsai-Lenz linear
+    relation is exact (the reference feeds full axis-angle vectors into the
+    same system, handeyedlt.cpp:84-99, which is only a small-angle
+    approximation and costs degrees of error at ~1 rad motions)."""
+    w = se3.log_so3(rot)
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-16
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    s, _ = fmath.sincos(0.5 * theta)
+    scale = jnp.where(small, 1.0 - theta2 / 24.0, 2.0 * s / theta)
+    return w * scale[..., None]
+
+
 def estimate_rotation_allpairs(pairs: MotionPairs):
-    """skew(alpha+beta) r = beta - alpha stacked ridge LSQ -> exp
-    (handeyedlt.cpp:84-99)."""
-    alpha = se3.log_so3(pairs.rot_a)
-    beta = se3.log_so3(pairs.rot_b)
-    m = se3.skew(alpha + beta) * pairs.weight[:, None, None]
-    d = (beta - alpha) * pairs.weight[:, None]
-    rot_vec = linalg.ridge_llsq(m.reshape(-1, 3), d.reshape(-1), 1e-12)
-    return se3.exp_so3(rot_vec)
+    """Exact Tsai-Lenz rotation: skew(Pa + Pb) x = Pb - Pa with modified
+    Rodrigues vectors; x = tan(theta_x/2) * axis_x."""
+    pa = _modified_rodrigues(pairs.rot_a)
+    pb = _modified_rodrigues(pairs.rot_b)
+    m = se3.skew(pa + pb) * pairs.weight[:, None, None]
+    d = (pb - pa) * pairs.weight[:, None]
+    x = linalg.ridge_llsq(m.reshape(-1, 3), d.reshape(-1), 1e-12)
+    t2 = jnp.sum(x * x)
+    small = t2 < 1e-16
+    t = jnp.sqrt(jnp.where(small, 1.0, t2))
+    theta_x = 2.0 * fmath.atan(t)
+    scale = jnp.where(small, 2.0 * (1.0 - t2 / 3.0), theta_x / t)
+    return se3.exp_so3(x * scale)
 
 
 def estimate_translation_allpairs(pairs: MotionPairs, rot_x):
