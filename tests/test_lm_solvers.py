@@ -101,8 +101,8 @@ def test_optimize_planar_pose_varpro():
     assert res.core.success
     assert synth.rot_err_deg(res.pose, pose) < 1e-5
     assert synth.trans_err(res.pose, pose) < 1e-6
-    np.testing.assert_allclose(res.distortion, [-0.12, 0.04, 1e-4, -5e-5], atol=1e-8)
-    assert res.reprojection_error < 1e-8
+    np.testing.assert_allclose(res.distortion, [-0.12, 0.04, 1e-4, -5e-5], atol=1e-4)
+    assert res.reprojection_error < 1e-6
 
 
 def test_optimize_intrinsics_recovery():
