@@ -218,7 +218,7 @@ class PlanarIntrinsicCalibrationFacade:
             kmtx_init = kmtx_init.at[4].set(0.0)
         init_intr = pinhole.pack(kmtx_init, jnp.zeros(5))
         if cfg.options.refine:
-            init_poses = np.asarray(
+            init_poses = np.array(
                 planarpose.estimate_planar_pose(
                     jnp.asarray(obj), jnp.asarray(uv),
                     jnp.broadcast_to(kmtx_init, (obj.shape[0], 5)), view_mask,
