@@ -111,9 +111,12 @@ def tpu_throughput(obj, uv, repeats=3):
     print(f"[bench] compile+first: {compile_and_first:.1f}s", file=sys.stderr)
 
     times = []
-    for _ in range(repeats):
+    for i in range(repeats):
+        # perturb inputs per repeat: the remote execution layer memoizes
+        # identical (executable, args) calls, which would fake the timing
+        uv_r = uv_j + (i + 1) * 1e-9
         t0 = time.time()
-        intr, cost, view_errors, cov = solve(obj_j, uv_j)
+        intr, cost, view_errors, cov = solve(obj_j, uv_r)
         intr.block_until_ready()
         times.append(time.time() - t0)
     dt = min(times)
