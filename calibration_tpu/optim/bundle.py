@@ -141,7 +141,10 @@ def optimize_bundle_device(
         res_fn, x0, manifold, options=opts.core, free_mask=free,
         block_ids=block_ids, num_blocks=o_cnt, lower=lower,
     )
-    cov, cov_ok = lm.covariance(res_fn, out.x, manifold, free_mask=free)
+    cov, cov_ok = lm.covariance(
+        res_fn, out.x, manifold, free_mask=free,
+        block_ids=block_ids, num_blocks=o_cnt, huber_delta=opts.core.huber_delta,
+    )
 
     intr, gqf, gtf, bqf, btf = unpack(out.x, pc, c)
     g_se3_c = blocks.quat_tran_to_poses(gqf, gtf)

@@ -122,7 +122,10 @@ def optimize_extrinsics_device(
         res_fn, x0, manifold, options=opts.core, free_mask=free,
         block_ids=block_ids, num_blocks=v * c, lower=lower,
     )
-    cov, cov_ok = lm.covariance(res_fn, out.x, manifold, free_mask=free)
+    cov, cov_ok = lm.covariance(
+        res_fn, out.x, manifold, free_mask=free,
+        block_ids=block_ids, num_blocks=v * c, huber_delta=opts.core.huber_delta,
+    )
 
     intr, cqf, ctf, vqf, vtf = unpack(out.x, pc, c, v)
     c_se3_r = blocks.quat_tran_to_poses(cqf, ctf)

@@ -48,7 +48,10 @@ def optimize_handeye_device(pairs: hel.MotionPairs, init_pose, options=OptimOpti
     out = lm.lm_core(
         res_fn, x0, _MANIFOLD, options=options, block_ids=block_ids, num_blocks=p
     )
-    cov, cov_ok = lm.covariance(res_fn, out.x, _MANIFOLD)
+    cov, cov_ok = lm.covariance(
+        res_fn, out.x, _MANIFOLD,
+        block_ids=block_ids, num_blocks=p, huber_delta=options.huber_delta,
+    )
     pose = se3.make_se3(se3.quat_to_rotmat(out.x[:4]), out.x[4:7])
     return out, pose, cov, cov_ok
 

@@ -50,7 +50,8 @@ def optimize_homography_device(init_h, obj_xy, img_uv, mask=None, options=OptimO
         res_fn, x0, _MANIFOLD, options=options, block_ids=block_ids, num_blocks=n
     )
     cov, cov_ok = lm.covariance(
-        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=2 * n
+        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=2 * n,
+        block_ids=block_ids, num_blocks=n, huber_delta=options.huber_delta,
     )
     return out, params_to_h(out.x), cov, cov_ok
 

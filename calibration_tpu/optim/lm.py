@@ -235,6 +235,9 @@ def covariance(
     free_mask=None,
     scale_by_variance: bool = False,
     num_residuals: Optional[int] = None,
+    block_ids=None,
+    num_blocks: int = 0,
+    huber_delta: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Ambient-space covariance at the solution (ceresutils.h:69-126).
 
@@ -244,6 +247,14 @@ def covariance(
     src/estimation/optim/homography.cpp:160-168), multiplies by
     ssr / max(1, m - n) with n = total *ambient* parameter count, exactly as
     ceresutils.h:117-123.
+
+    When ``huber_delta`` > 0 the Jacobian rows are rescaled by sqrt(rho')
+    exactly as the LM iteration weights them — ceres::Covariance evaluates
+    the loss-corrected Jacobian, so blocks pushed into the Huber tail
+    contribute with reduced information. Pass the same block_ids/num_blocks
+    given to ``lm_core``. In the quadratic region (all weights 1) this is
+    identical to the unrobustified covariance. ``scale_by_variance`` then
+    uses the robust cost for ssr, matching Ceres' summary.final_cost.
 
     Returns (cov (ambient, ambient), ok).
     """
@@ -259,6 +270,13 @@ def covariance(
     rt = lambda d: residual_fn(manifold.retract(x, d))
     r = rt(zero)
     jac = jax.jacfwd(rt)(zero) * tan_free[None, :]
+    ssr = jnp.sum(r * r)
+    if huber_delta > 0:
+        ids = block_ids if block_ids is not None else jnp.zeros(r.shape, jnp.int32)
+        nb = num_blocks if block_ids is not None else 1
+        w, robust_cost = _robust_weights(r, ids, nb, huber_delta)
+        jac = jac * jnp.sqrt(w)[:, None]
+        ssr = 2.0 * robust_cost
     a = jac.T @ jac + jnp.diag(1.0 - tan_free)
     c_t = linalg.spd_inverse(a)
     c_t = c_t * tan_free[:, None] * tan_free[None, :]
@@ -267,7 +285,6 @@ def covariance(
     ok = jnp.all(jnp.isfinite(cov))
     if scale_by_variance:
         m = num_residuals if num_residuals is not None else r.shape[0]
-        ssr = jnp.sum(r * r)
         dof = max(1, int(m) - manifold.ambient_dim)
         cov = cov * (ssr / dof)
     return cov, ok

@@ -58,7 +58,8 @@ def optimize_planar_pose_device(
     m = 2 * n
     rms = jnp.sqrt(jnp.sum(res * res) / m)
     cov, cov_ok = lm.covariance(
-        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m
+        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m,
+        num_blocks=1, huber_delta=options.huber_delta,
     )
     return out, se3.se3_exp(out.x), coeffs, cov, cov_ok, rms
 

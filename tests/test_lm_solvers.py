@@ -70,6 +70,37 @@ def test_lm_bounds():
     np.testing.assert_allclose(x[1], 5.0, atol=1e-9)
 
 
+def test_covariance_robustified():
+    """Loss-corrected covariance (ceres::Covariance evaluates the Huber-scaled
+    Jacobian): identical to the plain one when every block is inside the
+    delta ball, strictly larger diagonal when a block falls in the tail."""
+    from calibration_tpu.optim import lm
+
+    target = jnp.array([1.0, 2.0])
+    m = manifold.ProductManifold([manifold.euclid(2)])
+    block_ids = jnp.array([0, 1], jnp.int32)
+
+    def resid_small(x):
+        return (x - target) + jnp.array([0.01, -0.02])
+
+    plain, _ = lm.covariance(resid_small, target, m)
+    robust, _ = lm.covariance(
+        resid_small, target, m, block_ids=block_ids, num_blocks=2, huber_delta=1.0
+    )
+    np.testing.assert_allclose(np.asarray(robust), np.asarray(plain), atol=1e-14)
+
+    def resid_outlier(x):
+        return (x - target) + jnp.array([0.01, 5.0])  # block 1 in the tail
+
+    plain_o, _ = lm.covariance(resid_outlier, target, m)
+    robust_o, _ = lm.covariance(
+        resid_outlier, target, m, block_ids=block_ids, num_blocks=2, huber_delta=1.0
+    )
+    plain_o, robust_o = np.asarray(plain_o), np.asarray(robust_o)
+    np.testing.assert_allclose(robust_o[0, 0], plain_o[0, 0], atol=1e-14)
+    assert robust_o[1, 1] > plain_o[1, 1] * 2.0  # downweighted row => less info
+
+
 def test_optimize_homography_noisy():
     rng = np.random.default_rng(3)
     h = np.array([[1.1, 0.05, 20.0], [-0.02, 0.97, -8.0], [5e-5, -1e-4, 1.0]])
