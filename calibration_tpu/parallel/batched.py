@@ -101,6 +101,82 @@ def intrinsics_batch(
     return seed, out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("opts", "model_name", "precision", "bounds", "zero_skew")
+)
+def _intrinsics_facade_batch_jit(
+    obj, uv, mask, view_valid, opts, model_name, precision, bounds, zero_skew
+):
+    from ..models.registry import get_model
+
+    model = get_model(model_name)
+    vmask = mask * view_valid[..., None]
+    seed = jax.vmap(
+        lambda o, u, m: intrinsics_linear.estimate_intrinsics(o, u, m, bounds=bounds)
+    )(obj, uv, vmask)
+    kmtx = seed.kmtx
+    if zero_skew:
+        kmtx = kmtx.at[..., 4].set(0.0)
+    _, _, _, pose_ok = planarpose.pose_from_homography_pixel(
+        kmtx[:, None, :], seed.homographies
+    )
+    init_intr = jnp.concatenate(
+        [kmtx, jnp.zeros(kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
+    )
+    b, v = obj.shape[0], obj.shape[1]
+    init_poses = planarpose.estimate_planar_pose(
+        obj, uv, jnp.broadcast_to(kmtx[:, None, :], (b, v, 5)), vmask
+    )
+    safe = jnp.eye(4, dtype=obj.dtype).at[2, 3].set(1.0)
+    good = jnp.all(jnp.isfinite(init_poses), axis=(-2, -1)) & (view_valid > 0)
+    init_poses = jnp.where(good[..., None, None], init_poses, safe)
+    fn = lambda o, u, m, i0, p0, vv: optimize_intrinsics_device(
+        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision, view_valid=vv
+    )
+    out = jax.vmap(fn)(obj, uv, vmask, init_intr, init_poses, view_valid)
+    return seed, pose_ok, out
+
+
+def intrinsics_facade_batch(
+    obj_xy,
+    img_uv,
+    mask=None,
+    view_valid=None,
+    opts: Optional[IntrinsicsOptimOptions] = None,
+    bounds=None,
+    zero_skew: bool = True,
+    model_name: str = "pinhole_brown_conrady",
+    precision: str = "f64",
+    mesh=None,
+):
+    """Facade-parity fleet solve: the full per-sensor pipeline of
+    PlanarIntrinsicCalibrationFacade (bounds-sanitized Zhang seed, frozen-skew
+    zeroing, estimate_planar_pose inits, safe-pose substitution, view_valid
+    pose freezing) vmapped over a fleet of B cameras in ONE device dispatch
+    (reference runs src/pipeline/facades/intrinsics.cpp once per camera).
+
+    obj_xy/img_uv: (B, V, N, 2); mask: (B, V, N); view_valid: (B, V) — rows
+    beyond a camera's real view count are masked and their pose blocks frozen,
+    so cameras with different view counts share one compiled program.
+
+    Returns (seed: IntrinsicsEstimate batch, pose_ok (B, V), refine tuple
+    from optimize_intrinsics_device, all with leading B).
+    """
+    opts = opts or IntrinsicsOptimOptions()
+    obj_xy = jnp.asarray(obj_xy)
+    img_uv = jnp.asarray(img_uv)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+    if view_valid is None:
+        view_valid = jnp.ones(obj_xy.shape[:2], obj_xy.dtype)
+    view_valid = jnp.asarray(view_valid, obj_xy.dtype)
+    args = _maybe_shard((obj_xy, img_uv, mask, view_valid), mesh)
+    return _intrinsics_facade_batch_jit(
+        *args, opts, model_name, precision, bounds, zero_skew
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("options", "min_angle_deg"))
 def _handeye_batch_jit(b_se3_g, c_se3_t, options, min_angle_deg):
     def solve(bg, ct):

@@ -142,15 +142,29 @@ def collect_planar_views(
     return obj, uv, mask, active
 
 
+@dataclasses.dataclass
+class _PreparedProblem:
+    """Host-side prepared inputs for one sensor (gating + bucketing done)."""
+
+    out: IntrinsicCalibrationOutputs
+    obj: np.ndarray  # (V_pad, N_pad, 2)
+    uv: np.ndarray
+    mask: np.ndarray  # (V_pad, N_pad) after optional RANSAC pre-filter
+    view_valid: np.ndarray  # (V_pad,) bool
+    bounds: Optional[CalibrationBounds]
+    v_real: int
+    active: List[ActiveView]
+
+
 class PlanarIntrinsicCalibrationFacade:
     """facades/intrinsics.cpp:80-151."""
 
-    def calibrate(
+    def _prepare(
         self,
         cfg: IntrinsicCalibrationConfig,
         cam_cfg: CameraConfig,
         detections: PlanarDetections,
-    ) -> IntrinsicCalibrationOutputs:
+    ) -> _PreparedProblem:
         import jax.numpy as jnp
 
         out = IntrinsicCalibrationOutputs()
@@ -183,7 +197,6 @@ class PlanarIntrinsicCalibrationFacade:
             bounds = bounds_from_image_size(cam_cfg.image_size)
 
         # optional RANSAC pre-filter per view (homography_ransac option)
-        view_mask = jnp.asarray(mask)
         if cfg.options.estim_options.homography_ransac is not None:
             ropts = cfg.options.estim_options.homography_ransac.to_options()
             new_mask = np.asarray(mask).copy()
@@ -193,7 +206,25 @@ class PlanarIntrinsicCalibrationFacade:
                 )
                 if bool(rr.success):
                     new_mask[v] = np.asarray(rr.inlier_mask)
-            view_mask = jnp.asarray(new_mask)
+            mask = new_mask
+
+        return _PreparedProblem(
+            out=out, obj=obj, uv=uv, mask=np.asarray(mask),
+            view_valid=view_valid, bounds=bounds, v_real=v_real, active=active,
+        )
+
+    def calibrate(
+        self,
+        cfg: IntrinsicCalibrationConfig,
+        cam_cfg: CameraConfig,
+        detections: PlanarDetections,
+    ) -> IntrinsicCalibrationOutputs:
+        import jax.numpy as jnp
+
+        p = self._prepare(cfg, cam_cfg, detections)
+        out, obj, uv, active = p.out, p.obj, p.uv, p.active
+        view_valid, bounds, v_real = p.view_valid, p.bounds, p.v_real
+        view_mask = jnp.asarray(p.mask)
 
         linear = intrinsics_linear.estimate_intrinsics(
             jnp.asarray(obj), jnp.asarray(uv), view_mask, bounds=bounds
@@ -257,6 +288,120 @@ class PlanarIntrinsicCalibrationFacade:
         out.used_views = len(active)
         out.total_points_used = int(sum(a.corner_count for a in active))
         return out
+
+    def calibrate_many(
+        self,
+        cfg: IntrinsicCalibrationConfig,
+        jobs: List[Tuple[CameraConfig, PlanarDetections]],
+    ) -> List:
+        """Fleet path: calibrate many sensors, one vmapped device dispatch
+        per (view-bucket, point-bucket, bounds) group instead of the
+        reference's per-camera loop (intrinsic_stage.cpp runs the facade
+        serially per camera).
+
+        Returns one entry per job: IntrinsicCalibrationOutputs on success or
+        the raised Exception for that sensor (callers report it per sensor,
+        the rest of the fleet is unaffected).
+        """
+        import jax.numpy as jnp
+
+        from ...optim.core import OptimResult, TerminationType, brief_report
+        from ...parallel.batched import intrinsics_facade_batch
+
+        if not cfg.options.refine:
+            # linear-only runs are cheap; keep the simple per-sensor path
+            results = []
+            for cam_cfg, det in jobs:
+                try:
+                    results.append(self.calibrate(cfg, cam_cfg, det))
+                except Exception as ex:  # noqa: BLE001 — per-sensor isolation
+                    results.append(ex)
+            return results
+
+        results: List = [None] * len(jobs)
+        prepared: List[Optional[_PreparedProblem]] = [None] * len(jobs)
+        for i, (cam_cfg, det) in enumerate(jobs):
+            try:
+                prepared[i] = self._prepare(cfg, cam_cfg, det)
+            except Exception as ex:  # noqa: BLE001
+                results[i] = ex
+
+        zero_skew = (
+            not cfg.options.estim_options.use_skew
+            and not cfg.options.optim_options.optimize_skew
+        )
+        groups: dict = {}
+        for i, p in enumerate(prepared):
+            if p is None:
+                continue
+            groups.setdefault((p.obj.shape, p.bounds), []).append(i)
+
+        for (_, bounds), idxs in groups.items():
+            obj_b = np.stack([prepared[i].obj for i in idxs])
+            uv_b = np.stack([prepared[i].uv for i in idxs])
+            mask_b = np.stack([prepared[i].mask for i in idxs])
+            vv_b = np.stack([prepared[i].view_valid for i in idxs])
+            seed, pose_ok, refine_out = intrinsics_facade_batch(
+                obj_b, uv_b, mask=mask_b, view_valid=vv_b,
+                opts=cfg.options.optim_options, bounds=bounds, zero_skew=zero_skew,
+            )
+            lm_out, intr_b, poses_b, view_err_b, cov_b, cov_ok_b = refine_out
+            kmtx_b = np.asarray(seed.kmtx)
+            k_ok_b = np.asarray(seed.ok)
+            h_ok_b = np.asarray(seed.h_ok)
+            pose_ok_b = np.asarray(pose_ok)
+            for j, i in enumerate(idxs):
+                p = prepared[i]
+                out = p.out
+                out.pose_warnings = int(np.sum(~pose_ok_b[j][p.view_valid]))
+                out.invalid_k_warnings = 0 if bool(k_ok_b[j]) else 1
+                if not bool(k_ok_b[j]):
+                    results[i] = RuntimeError(
+                        "Linear intrinsic estimation failed to converge."
+                    )
+                    continue
+                out.linear_kmtx = kmtx_b[j]
+                out.linear_view_indices = [int(v) for v in np.where(h_ok_b[j])[0]]
+
+                core = OptimResult(
+                    success=bool(lm_out.success[j]),
+                    covariance=(
+                        np.asarray(cov_b[j])
+                        if (
+                            cfg.options.optim_options.core.compute_covariance
+                            and bool(cov_ok_b[j])
+                        )
+                        else None
+                    ),
+                    final_cost=float(lm_out.cost[j]),
+                    iterations=int(lm_out.iterations[j]),
+                    termination=TerminationType(int(lm_out.termination[j])),
+                    initial_cost=float(lm_out.initial_cost[j]),
+                )
+                core.report = brief_report(core)
+                refine = IntrinsicsOptimizationResult(
+                    core=core,
+                    camera=np.asarray(intr_b[j]),
+                    c_se3_t=np.asarray(poses_b[j][: p.v_real]),
+                    view_errors=np.asarray(view_err_b[j][: p.v_real]),
+                )
+                if not core.success:
+                    print(
+                        "Warning: Non-linear refinement did not converge. Using linear result.",
+                        file=sys.stderr,
+                    )
+                    kmtx_init = kmtx_b[j].copy()
+                    if zero_skew:
+                        kmtx_init[4] = 0.0
+                    refine.camera = np.asarray(
+                        pinhole.pack(jnp.asarray(kmtx_init), jnp.zeros(5))
+                    )
+                out.refine_result = refine
+                out.active_views = p.active
+                out.used_views = len(p.active)
+                out.total_points_used = int(sum(a.corner_count for a in p.active))
+                results[i] = out
+        return results
 
 
 def load_calibration_config(path) -> Optional[IntrinsicCalibrationConfig]:

@@ -51,25 +51,36 @@ class IntrinsicStage(CalibrationStage):
         facade = PlanarIntrinsicCalibrationFacade()
         overall = True
         cameras = []
+        # fleet dispatch: sensors sharing a (view, point) bucket solve in one
+        # vmapped device program (reference loops the facade per camera,
+        # intrinsic_stage.cpp:33-50)
+        jobs, job_rows = [], []
         for detections in context.dataset.planar_cameras:
             sensor_id = detections.sensor_id or "cam0"
             cam_cfg = find_camera_config(cfg, sensor_id)
+            row = {"sensor_id": sensor_id}
+            cameras.append(row)
             if cam_cfg is None:
-                cameras.append({"sensor_id": sensor_id, "status": "missing_camera_config"})
+                row["status"] = "missing_camera_config"
                 overall = False
                 continue
-            try:
-                run = facade.calibrate(cfg, cam_cfg, detections)
-                context.intrinsic_results[sensor_id] = run
-                entry = build_camera_report(cam_cfg, detections, run)
-                entry["sensor_id"] = sensor_id
-                entry["tags"] = sorted(detections.tags)
-                cameras.append(entry)
-            except Exception as ex:  # noqa: BLE001 — parity (intrinsic_stage.cpp:46-49)
-                cameras.append(
-                    {"sensor_id": sensor_id, "status": "calibration_failed", "error": str(ex)}
-                )
+            jobs.append((cam_cfg, detections))
+            job_rows.append(row)
+
+        for row, (cam_cfg, detections), run in zip(
+            job_rows, jobs, facade.calibrate_many(cfg, jobs) if jobs else []
+        ):
+            sensor_id = row["sensor_id"]
+            if isinstance(run, Exception):
+                # parity (intrinsic_stage.cpp:46-49)
+                row.update(status="calibration_failed", error=str(run))
                 overall = False
+                continue
+            context.intrinsic_results[sensor_id] = run
+            entry = build_camera_report(cam_cfg, detections, run)
+            entry["sensor_id"] = sensor_id
+            entry["tags"] = sorted(detections.tags)
+            row.update(entry)
 
         has_synth = any("synthetic" in d.tags for d in context.dataset.planar_cameras)
         has_recorded = any("recorded" in d.tags for d in context.dataset.planar_cameras)

@@ -86,6 +86,38 @@ def test_planar_intrinsics_facade_synthetic():
     assert out.total_points_used == 8 * obj.shape[0]
 
 
+def test_planar_intrinsics_fleet_calibrate_many():
+    """Fleet path: sensors sharing a (view, point) bucket solve in one
+    vmapped dispatch; different buckets form separate groups; a bad sensor
+    surfaces its exception without poisoning the rest."""
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    intr_b = np.array(intr)
+    intr_b[0] += 25.0
+    intr_b[1] -= 10.0
+    det_a = _detections_from_views(intr, synth.circle_views(8), obj, sensor_id="camA")
+    det_b = _detections_from_views(intr_b, synth.circle_views(8), obj, sensor_id="camB")
+    det_c = _detections_from_views(intr, synth.circle_views(6), obj, sensor_id="camC")
+    det_d = _detections_from_views(intr, synth.circle_views(3), obj, sensor_id="camD")
+
+    cams = [CameraConfig(camera_id=c, image_size=[640, 480]) for c in "ABCD"]
+    cfg = IntrinsicCalibrationConfig(
+        options=IntrinsicCalibrationOptions(optim_options=FAST_OPTS, min_corners_per_view=10),
+        cameras=cams,
+    )
+    jobs = list(zip(cams, [det_a, det_b, det_c, det_d]))
+    outs = PlanarIntrinsicCalibrationFacade().calibrate_many(cfg, jobs)
+
+    assert isinstance(outs[3], Exception)
+    assert "at least 4 views" in str(outs[3])
+    for out, gt, views in zip(outs[:3], [intr, intr_b, intr], [8, 8, 6]):
+        assert out.accepted_views == views
+        assert out.refine_result.core.success
+        np.testing.assert_allclose(out.refine_result.camera[:4], gt[:4], atol=1e-5)
+        np.testing.assert_allclose(out.refine_result.camera[5:], gt[5:], atol=1e-6)
+        assert out.refine_result.c_se3_t.shape == (views, 4, 4)
+
+
 def test_planar_intrinsics_facade_too_few_views():
     intr = synth.default_camera()
     obj = synth.make_target_grid(6, 8, 0.04)
