@@ -140,7 +140,10 @@ def optimize_intrinsics_device(
         lower=lower,
         upper=upper,
     )
-    cov, cov_ok = lm.covariance(res_fn, out.x, manifold, free_mask=free)
+    cov, cov_ok = lm.covariance(
+        res_fn, out.x, manifold, free_mask=free,
+        block_ids=block_ids, num_blocks=v, huber_delta=opts.core.huber_delta,
+    )
 
     intr, quats_f, trans_f = blocks.unpack_intr_quats_trans(out.x, pc, v)
     poses = blocks.quat_tran_to_poses(quats_f, trans_f)
