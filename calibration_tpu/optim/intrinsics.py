@@ -18,7 +18,7 @@ import numpy as np
 from ..models import CalibrationBounds
 from ..models.registry import PINHOLE, CameraModelSpec
 from ..ops import se3
-from . import blocks, lm
+from . import blocks, lm, lm_schur
 from .core import OptimOptions, OptimResult, TerminationType, brief_report
 from .manifold import ProductManifold, euclid, quat
 
@@ -54,6 +54,18 @@ def _residual_flat(model, x, obj_xy, img_uv, mask, pc, v):
     return r.reshape(-1)
 
 
+def _view_residual(model, intr, quat_i, tran_i, obj_i, uv_i, mask_i):
+    """One view's masked pixel residuals (the separable-block unit the
+    Schur engine vmaps over)."""
+    rot = se3.quat_to_rotmat(quat_i)
+    pts = jnp.concatenate(
+        [obj_i, jnp.zeros(obj_i.shape[:-1] + (1,), obj_i.dtype)], axis=-1
+    )
+    pc3 = pts @ rot.T + tran_i
+    uv_hat = model.project(intr[None, :], pc3)
+    return ((uv_hat - uv_i) * mask_i[..., None]).reshape(-1)
+
+
 def _bounds_vectors(pc, v, model, opts: IntrinsicsOptimOptions, dtype):
     lower = jnp.full((pc + 7 * v,), -jnp.inf, dtype)
     lower = lower.at[model.idx_fx].set(0.0).at[model.idx_fy].set(0.0)
@@ -70,6 +82,7 @@ def optimize_intrinsics_device(
     opts: IntrinsicsOptimOptions | None = None,
     precision: str = "f64",
     view_valid=None,
+    solver: str = "schur",
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, N, 2); init_intr: (pc,);
     init_poses: (V, 4, 4); mask: (V, N).
@@ -82,6 +95,12 @@ def optimize_intrinsics_device(
     view_valid: optional (V,) dynamic validity — padded views (shape
     bucketing) get zero residuals and frozen pose blocks, so one compiled
     program serves any view count up to V without recompiling.
+
+    solver="schur" (default) exploits the intrinsics+per-view-pose block
+    structure via optim.lm_schur (DENSE_SCHUR equivalent): per-view
+    vmapped Jacobians and exact block elimination — algebraically the same
+    iteration as the dense engine, a fraction of the work. "dense" falls
+    back to the generic lm.lm_core.
     """
     opts = opts or IntrinsicsOptimOptions()
     v, n = obj_xy.shape[0], obj_xy.shape[1]
@@ -112,34 +131,69 @@ def optimize_intrinsics_device(
 
     res_fn = lambda x: _residual_flat(model, x, obj_xy, img_uv, mask, pc, v)
 
-    if precision == "mixed":
-        obj32 = obj_xy.astype(jnp.float32)
-        uv32 = img_uv.astype(jnp.float32)
-        mask32 = mask.astype(jnp.float32)
-        res32 = lambda x: _residual_flat(model, x, obj32, uv32, mask32, pc, v)
-        coarse = dataclasses.replace(
-            opts.core, epsilon=max(1e-5, opts.core.epsilon),
-            max_iterations=min(30, opts.core.max_iterations),
+    if solver == "schur":
+        res_view = lambda intr, q, t, o, u, m: _view_residual(model, intr, q, t, o, u, m)
+        gmask = jnp.asarray(free[:pc], x0.dtype)
+        lower_g = None if lower is None else lower[:pc]
+        intr_c, quats_c, trans_c = jnp.asarray(init_intr), quats, trans
+        if precision == "mixed":
+            coarse = dataclasses.replace(
+                opts.core, epsilon=max(1e-5, opts.core.epsilon),
+                max_iterations=min(30, opts.core.max_iterations),
+            )
+            s32 = lm_schur.lm_core_schur(
+                res_view,
+                intr_c.astype(jnp.float32),
+                quats_c.astype(jnp.float32),
+                trans_c.astype(jnp.float32),
+                (
+                    obj_xy.astype(jnp.float32),
+                    img_uv.astype(jnp.float32),
+                    mask.astype(jnp.float32),
+                ),
+                options=coarse,
+                g_free=gmask,
+                view_valid=view_valid,
+                lower_g=None if lower_g is None else lower_g.astype(jnp.float32),
+            )
+            intr_c = s32.xg.astype(x0.dtype)
+            quats_c = s32.quats.astype(x0.dtype)
+            trans_c = s32.trans.astype(x0.dtype)
+        sout = lm_schur.lm_core_schur(
+            res_view, intr_c, quats_c, trans_c, (obj_xy, img_uv, mask),
+            options=opts.core, g_free=gmask, view_valid=view_valid,
+            lower_g=lower_g,
         )
-        out32 = lm.lm_core(
-            res32, x0.astype(jnp.float32), manifold, options=coarse,
-            free_mask=free, block_ids=block_ids, num_blocks=v,
-            lower=None if lower is None else lower.astype(jnp.float32),
-            upper=None if upper is None else upper.astype(jnp.float32),
-        )
-        x0 = out32.x.astype(x0.dtype)
+        out = sout.as_lm_output(blocks.pack_intr_quats_trans)
+    else:
+        if precision == "mixed":
+            obj32 = obj_xy.astype(jnp.float32)
+            uv32 = img_uv.astype(jnp.float32)
+            mask32 = mask.astype(jnp.float32)
+            res32 = lambda x: _residual_flat(model, x, obj32, uv32, mask32, pc, v)
+            coarse = dataclasses.replace(
+                opts.core, epsilon=max(1e-5, opts.core.epsilon),
+                max_iterations=min(30, opts.core.max_iterations),
+            )
+            out32 = lm.lm_core(
+                res32, x0.astype(jnp.float32), manifold, options=coarse,
+                free_mask=free, block_ids=block_ids, num_blocks=v,
+                lower=None if lower is None else lower.astype(jnp.float32),
+                upper=None if upper is None else upper.astype(jnp.float32),
+            )
+            x0 = out32.x.astype(x0.dtype)
 
-    out = lm.lm_core(
-        res_fn,
-        x0,
-        manifold,
-        options=opts.core,
-        free_mask=free,
-        block_ids=block_ids,
-        num_blocks=v,
-        lower=lower,
-        upper=upper,
-    )
+        out = lm.lm_core(
+            res_fn,
+            x0,
+            manifold,
+            options=opts.core,
+            free_mask=free,
+            block_ids=block_ids,
+            num_blocks=v,
+            lower=lower,
+            upper=upper,
+        )
     cov, cov_ok = lm.covariance(
         res_fn, out.x, manifold, free_mask=free,
         block_ids=block_ids, num_blocks=v, huber_delta=opts.core.huber_delta,
@@ -171,6 +225,7 @@ def optimize_intrinsics(
     opts: IntrinsicsOptimOptions | None = None,
     precision: str = "f64",
     view_valid=None,
+    solver: str = "schur",
 ):
     """Host-facing wrapper (optimize_intrinsics, intrinsics.cpp:99-120).
 
@@ -190,6 +245,7 @@ def optimize_intrinsics(
         opts=opts,
         precision=precision,
         view_valid=view_valid,
+        solver=solver,
     )
     core = OptimResult(
         success=bool(out.success),

@@ -1,0 +1,301 @@
+"""Separable (Schur-complement) Levenberg-Marquardt for camera problems.
+
+The planar-intrinsics problem (and every bundle-like problem) is block
+separable: each view's residuals depend only on the shared global block
+(intrinsics) and that view's own 6-dof pose. ``lm.lm_core`` treats the
+parameter vector as dense, so its jacfwd runs pc + 6V tangent passes per
+iteration and factorizes a (pc+6V)^2 system — most of which is structural
+zeros. This engine exploits the structure the way Ceres' DENSE_SCHUR does
+for the reference (ceres::Solve with camera + per-view pose blocks,
+src/estimation/optim/intrinsics.cpp:69-76):
+
+- per-view Jacobians via ``vmap(jacfwd)`` over a (pc + 6)-dim tangent —
+  5x fewer forward passes than the dense engine on a 10-view problem;
+- normal equations assembled as MXU-friendly batched einsums
+  U (pc,pc), W (V,pc,6), Vb (V,6,6);
+- the damped, Jacobi-scaled system solved by exact block elimination:
+  batched 6x6 Cholesky inverses + one pc x pc Schur solve.
+
+The elimination is algebraically exact, so iterates, damping trajectory and
+termination match ``lm_core`` to floating-point roundoff — verified by the
+equivalence test in tests/test_lm_solvers.py.
+
+Same semantics as lm_core: Huber IRLS per view block, Nielsen mu-updates,
+ftol/gtol/xtol = OptimOptions.epsilon, box bounds on the global block by
+projection, dynamic free masks (no recompiles when freezing skew or padded
+views).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linalg, se3
+from .core import OptimOptions
+from .lm import _MU_INIT, _MU_MAX, _MU_MIN, LMOutput
+
+
+class SchurState(NamedTuple):
+    xg: jnp.ndarray  # (pg,) global ambient params (euclid)
+    quats: jnp.ndarray  # (V, 4)
+    trans: jnp.ndarray  # (V, 3)
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    cost: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    termination: jnp.ndarray
+    grad_max: jnp.ndarray
+
+
+class SchurOutput(NamedTuple):
+    xg: jnp.ndarray
+    quats: jnp.ndarray
+    trans: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    termination: jnp.ndarray
+    success: jnp.ndarray
+
+    def as_lm_output(self, pack) -> LMOutput:
+        return LMOutput(
+            x=pack(self.xg, self.quats, self.trans),
+            cost=self.cost,
+            initial_cost=self.initial_cost,
+            iterations=self.iterations,
+            termination=self.termination,
+            success=self.success,
+        )
+
+
+def _retract_views(quats, trans, dv):
+    """Right-multiply quaternion exp + additive translation (the same
+    product manifold as optim.manifold quat()+euclid(3) blocks)."""
+    dq = se3.exp_quat(dv[..., :3])
+    qn = se3.quat_mul(quats, dq)
+    qn = qn / jnp.linalg.norm(qn, axis=-1, keepdims=True)
+    return qn, trans + dv[..., 3:]
+
+
+def lm_core_schur(
+    residual_view_fn: Callable,
+    xg0,
+    quats0,
+    trans0,
+    view_data,
+    *,
+    options: OptimOptions = OptimOptions(),
+    g_free=None,
+    view_valid=None,
+    lower_g=None,
+    upper_g=None,
+) -> SchurOutput:
+    """Minimize 0.5 * sum_v rho(|r_v|^2) over (global, per-view pose) blocks.
+
+    Args:
+      residual_view_fn: (xg, quat (4,), tran (3,), view_data_leaf...) ->
+        (m,) residuals for ONE view, masked rows zeroed by the caller.
+        Called under vmap over the leading V axis of ``view_data``.
+      xg0: (pg,) global euclidean block (e.g. flat intrinsics).
+      quats0/trans0: (V, 4)/(V, 3) per-view pose blocks.
+      view_data: pytree with leading V axis (obj, uv, mask, ...).
+      g_free: optional (pg,) bool/float — frozen global coords (skew).
+      view_valid: optional (V,) — invalid views get zero residual weight and
+        frozen pose blocks (shape-bucketing padding).
+      lower_g/upper_g: optional box bounds on the global block.
+    """
+    eps = options.epsilon
+    huber = options.huber_delta
+    dtype = jnp.asarray(xg0).dtype
+    pg = xg0.shape[-1]
+    v = quats0.shape[0]
+
+    gmask = (
+        jnp.ones((pg,), dtype)
+        if g_free is None
+        else jnp.asarray(g_free).astype(dtype)
+    )
+    vmask = (
+        jnp.ones((v,), dtype)
+        if view_valid is None
+        else jnp.asarray(view_valid).astype(dtype)
+    )
+    vmask6 = vmask[:, None] * jnp.ones((1, 6), dtype)
+
+    def clip_g(xg):
+        if lower_g is not None:
+            xg = jnp.maximum(xg, jnp.asarray(lower_g, dtype))
+        if upper_g is not None:
+            xg = jnp.minimum(xg, jnp.asarray(upper_g, dtype))
+        return xg
+
+    def residuals(xg, quats, trans):
+        return jax.vmap(lambda q, t, *d: residual_view_fn(xg, q, t, *d))(
+            quats, trans, *view_data
+        )  # (V, m)
+
+    use_huber = huber > 0
+
+    def block_weights(r):
+        """Per-view Huber IRLS weight + robust cost (one loss block per
+        view, matching lm_core's block_ids=view layout)."""
+        s = jnp.sum(r * r, axis=-1)  # (V,)
+        if not use_huber:
+            return jnp.ones_like(s), 0.5 * jnp.sum(s)
+        d2 = huber * huber
+        out = s > d2
+        sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-300))
+        w = jnp.where(out, huber / sqrt_s, 1.0)
+        rho = jnp.where(out, 2.0 * huber * sqrt_s - d2, s)
+        return w, 0.5 * jnp.sum(rho)
+
+    def cost_at(xg, quats, trans):
+        _, c = block_weights(residuals(xg, quats, trans))
+        return c
+
+    tan6 = pg + 6
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    def _diag6(x):
+        """Batched diag embed: (..., 6) -> (..., 6, 6)."""
+        return eye6 * x[..., None, :]
+
+    def step(state: SchurState) -> SchurState:
+        def res_local(delta, quat, tran, *data):
+            xg_new = clip_g(state.xg + delta[:pg])
+            dq = se3.exp_quat(delta[pg : pg + 3])
+            qn = se3.quat_mul(quat, dq)
+            qn = qn / jnp.linalg.norm(qn)
+            return residual_view_fn(xg_new, qn, tran + delta[pg + 3 :], *data)
+
+        zero = jnp.zeros((tan6,), dtype)
+        r = residuals(state.xg, state.quats, state.trans)  # (V, m)
+        jac = jax.vmap(
+            lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d)
+        )(state.quats, state.trans, *view_data)  # (V, m, pg+6)
+
+        w, _ = block_weights(r)
+        sw = jnp.sqrt(w)[:, None]
+        rw = r * sw
+        jw = jac * sw[..., None]
+
+        a_blk = jw[..., :pg] * gmask[None, None, :]  # (V, m, pg)
+        b_blk = jw[..., pg:] * vmask6[:, None, :]  # (V, m, 6)
+
+        u = jnp.einsum("vmi,vmj->ij", a_blk, a_blk)
+        wmat = jnp.einsum("vmi,vmj->vij", a_blk, b_blk)
+        vb = jnp.einsum("vmi,vmj->vij", b_blk, b_blk)
+        gu = jnp.einsum("vmi,vm->i", a_blk, rw)
+        gv = jnp.einsum("vmi,vm->vi", b_blk, rw)
+
+        grad_max = jnp.maximum(
+            jnp.max(jnp.abs(gu)), jnp.max(jnp.abs(gv))
+        )
+        gtol_hit = grad_max <= eps
+
+        diag_u = jnp.clip(jnp.diagonal(u), 1e-12, 1e32) * gmask + (1.0 - gmask)
+        diag_v = jnp.clip(
+            jnp.diagonal(vb, axis1=-2, axis2=-1), 1e-12, 1e32
+        ) * vmask6 + (1.0 - vmask6)
+        dg = jnp.where(gmask > 0, 1.0 / jnp.sqrt(diag_u), 0.0)
+        dv = jnp.where(vmask6 > 0, 1.0 / jnp.sqrt(diag_v), 0.0)
+
+        # Jacobi-scaled damped system; frozen dims get a unit diagonal so
+        # every factorization stays SPD (their delta is zeroed afterwards)
+        u_s = dg[:, None] * u * dg[None, :] + jnp.diag(1.0 - gmask)
+        w_s = dg[None, :, None] * wmat * dv[:, None, :]
+        v_s = dv[..., :, None] * vb * dv[..., None, :] + _diag6(1.0 - vmask6)
+
+        mu = state.mu
+        u_mu = u_s + mu * jnp.diag(gmask)
+        v_mu = v_s + mu * _diag6(vmask6)
+
+        gu_s = dg * gu
+        gv_s = dv * gv
+
+        v_inv = linalg.spd_inverse(v_mu)  # (V, 6, 6)
+        wvinv = jnp.einsum("vij,vjk->vik", w_s, v_inv)  # (V, pg, 6)
+        s_mat = u_mu - jnp.einsum("vik,vjk->ij", wvinv, w_s)
+        rhs = -(gu_s - jnp.einsum("vik,vk->i", wvinv, gv_s))
+        dg_t = linalg.spd_solve(s_mat, rhs)
+        dv_t = -jnp.einsum(
+            "vij,vj->vi", v_inv, gv_s + jnp.einsum("vji,j->vi", w_s, dg_t)
+        )
+
+        delta_g = dg * dg_t * gmask
+        delta_v = dv * dv_t * vmask6
+        delta_ok = jnp.all(jnp.isfinite(delta_g)) & jnp.all(jnp.isfinite(delta_v))
+        delta_g = jnp.where(delta_ok, delta_g, 0.0)
+        delta_v = jnp.where(delta_ok, delta_v, 0.0)
+
+        x_norm = jnp.sqrt(
+            jnp.sum(state.xg**2) + jnp.sum(state.quats**2) + jnp.sum(state.trans**2)
+        )
+        step_norm = jnp.sqrt(jnp.sum(delta_g**2) + jnp.sum(delta_v**2))
+        xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
+
+        xg_new = clip_g(state.xg + delta_g)
+        q_new, t_new = _retract_views(state.quats, state.trans, delta_v)
+        cost_new = cost_at(xg_new, q_new, t_new)
+
+        pred = 0.5 * (
+            jnp.dot(delta_g, mu * diag_u * delta_g - gu)
+            + jnp.sum(delta_v * (mu * diag_v * delta_v - gv))
+        )
+        rho = (state.cost - cost_new) / jnp.where(pred > 0, pred, 1e-300)
+        accept = delta_ok & jnp.isfinite(cost_new) & (rho > 0) & (pred > 0)
+
+        ftol_hit = accept & (jnp.abs(state.cost - cost_new) <= eps * state.cost)
+
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_acc = jnp.clip(mu * factor, _MU_MIN, _MU_MAX)
+        mu_rej = jnp.clip(mu * state.nu, _MU_MIN, _MU_MAX)
+
+        term = jnp.where(
+            gtol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(ftol_hit, 1, 0))
+        ).astype(jnp.int32)
+        return SchurState(
+            xg=jnp.where(accept, xg_new, state.xg),
+            quats=jnp.where(accept, q_new, state.quats),
+            trans=jnp.where(accept, t_new, state.trans),
+            mu=jnp.where(accept, mu_acc, mu_rej),
+            nu=jnp.where(accept, 2.0, state.nu * 2.0),
+            cost=jnp.where(accept, cost_new, state.cost),
+            it=state.it + 1,
+            done=term > 0,
+            termination=term,
+            grad_max=grad_max,
+        )
+
+    def cond(state: SchurState):
+        return (~state.done) & (state.it < options.max_iterations)
+
+    xg_init = clip_g(jnp.asarray(xg0))
+    cost0 = cost_at(xg_init, quats0, trans0)
+    init = SchurState(
+        xg=xg_init,
+        quats=jnp.asarray(quats0),
+        trans=jnp.asarray(trans0),
+        mu=jnp.asarray(_MU_INIT, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        cost=cost0,
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        termination=jnp.asarray(0, jnp.int32),
+        grad_max=jnp.asarray(jnp.inf, dtype),
+    )
+    final = jax.lax.while_loop(cond, step, init)
+    return SchurOutput(
+        xg=final.xg,
+        quats=final.quats,
+        trans=final.trans,
+        cost=final.cost,
+        initial_cost=cost0,
+        iterations=final.it,
+        termination=final.termination,
+        success=final.termination > 0,
+    )

@@ -159,6 +159,44 @@ def test_optimize_intrinsics_recovery():
     assert res.core.covariance.shape == (10 + 7 * 8, 10 + 7 * 8)
 
 
+def test_schur_solver_matches_dense():
+    """The Schur engine is exact block elimination of the same damped
+    system, so it must land on the same camera as the dense engine (to
+    roundoff), with noisy data and a padded/frozen view."""
+    rng = np.random.default_rng(11)
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(6)
+    uv = synth.render_pixels(intr_gt, poses, obj, noise=0.3, rng=rng)
+    # pad with one junk view masked out via view_valid
+    obj_b = np.tile(obj[None], (7, 1, 1))
+    uv_b = np.concatenate([uv, rng.uniform(0, 640, (1,) + uv.shape[1:])])
+    poses0 = np.concatenate([poses, np.eye(4)[None]])
+    poses0[6, 2, 3] = 1.0
+    view_valid = np.arange(7) < 6
+
+    intr0 = intr_gt.copy()
+    intr0[:4] += [8.0, -6.0, 4.0, -3.0]
+    intr0[5:] = 0.0
+    opts = IntrinsicsOptimOptions()
+    dense = optimize_intrinsics(
+        obj_b, uv_b, intr0, poses0, view_valid=view_valid, opts=opts, solver="dense"
+    )
+    schur = optimize_intrinsics(
+        obj_b, uv_b, intr0, poses0, view_valid=view_valid, opts=opts, solver="schur"
+    )
+    assert dense.core.success and schur.core.success
+    np.testing.assert_allclose(schur.camera, dense.camera, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(
+        schur.core.final_cost, dense.core.final_cost, rtol=1e-9
+    )
+    for v in range(6):
+        # 1e-5 deg is the arccos metric floor, not a real discrepancy
+        assert synth.rot_err_deg(schur.c_se3_t[v], dense.c_se3_t[v]) < 1e-5
+    # frozen padded view untouched by both
+    np.testing.assert_allclose(schur.c_se3_t[6], poses0[6], atol=1e-12)
+
+
 def test_optimize_intrinsics_semidlt():
     intr_gt = synth.default_camera()
     intr_gt[5:] = [-0.1, 0.03, 0.0, 0.0, 0.0]  # k3=p1=p2=0; semidlt fits k1,k2,p1,p2
