@@ -194,10 +194,26 @@ def optimize_intrinsics_device(
             lower=lower,
             upper=upper,
         )
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, manifold, free_mask=free,
-        block_ids=block_ids, num_blocks=v, huber_delta=opts.core.huber_delta,
-    )
+    if opts.core.compute_covariance:
+        jac_r = None
+        if solver == "schur":
+            # assemble (r, J) from per-view blocks instead of re-running a
+            # pc+7V-tangent jacfwd (covariance was 24% of the batched solve)
+            jac_r = lm_schur.full_jacobian(
+                lambda intr, q, t, o, u, m: _view_residual(model, intr, q, t, o, u, m),
+                sout.xg, sout.quats, sout.trans, (obj_xy, img_uv, mask),
+            )
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, manifold, free_mask=free,
+            block_ids=block_ids, num_blocks=v, huber_delta=opts.core.huber_delta,
+            jac_r=jac_r,
+        )
+    else:
+        # callers that disable covariance shouldn't pay the extra full-width
+        # linearization (one pc+7V-tangent jacfwd + inverse per solve)
+        n_amb = pc + 7 * v
+        cov = jnp.zeros((n_amb, n_amb), x0.dtype)
+        cov_ok = jnp.asarray(False)
 
     intr, quats_f, trans_f = blocks.unpack_intr_quats_trans(out.x, pc, v)
     poses = blocks.quat_tran_to_poses(quats_f, trans_f)

@@ -238,6 +238,7 @@ def covariance(
     block_ids=None,
     num_blocks: int = 0,
     huber_delta: float = 0.0,
+    jac_r=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Ambient-space covariance at the solution (ceresutils.h:69-126).
 
@@ -256,6 +257,11 @@ def covariance(
     identical to the unrobustified covariance. ``scale_by_variance`` then
     uses the robust cost for ssr, matching Ceres' summary.final_cost.
 
+    ``jac_r``: optional precomputed (r (m,), jac (m, tangent_dim)) pair.
+    Block-separable solvers (optim.lm_schur) assemble the full tangent
+    Jacobian from per-view blocks far cheaper than the pc+6V-tangent
+    jacfwd here; the math from the gram matrix onward is shared.
+
     Returns (cov (ambient, ambient), ok).
     """
     x = jnp.asarray(x)
@@ -266,10 +272,14 @@ def covariance(
     else:
         tan_free = manifold.ambient_to_tangent_mask(jnp.asarray(free_mask)).astype(dtype)
 
-    zero = jnp.zeros((tdim,), dtype)
-    rt = lambda d: residual_fn(manifold.retract(x, d))
-    r = rt(zero)
-    jac = jax.jacfwd(rt)(zero) * tan_free[None, :]
+    if jac_r is None:
+        zero = jnp.zeros((tdim,), dtype)
+        rt = lambda d: residual_fn(manifold.retract(x, d))
+        r = rt(zero)
+        jac = jax.jacfwd(rt)(zero)
+    else:
+        r, jac = jac_r
+    jac = jac * tan_free[None, :]
     ssr = jnp.sum(r * r)
     if huber_delta > 0:
         ids = block_ids if block_ids is not None else jnp.zeros(r.shape, jnp.int32)

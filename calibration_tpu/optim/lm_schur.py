@@ -81,6 +81,42 @@ def _retract_views(quats, trans, dv):
     return qn, trans + dv[..., 3:]
 
 
+def full_jacobian(residual_view_fn, xg, quats, trans, view_data):
+    """Assemble the full tangent-space (r, J) at a solution from per-view
+    16-tangent blocks, in the ProductManifold layout
+    [euclid(pg), quat x V, euclid(3) x V] used by optimize_intrinsics.
+
+    Feeds lm.covariance's ``jac_r`` hook: same Jacobian as its dense
+    jacfwd (pg + 6V tangents) at a fraction of the autodiff cost.
+    """
+    xg = jnp.asarray(xg)
+    pg = xg.shape[-1]
+    v = quats.shape[0]
+    dtype = xg.dtype
+
+    def res_local(delta, quat, tran, *data):
+        dq = se3.exp_quat(delta[pg : pg + 3])
+        qn = se3.quat_mul(quat, dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return residual_view_fn(xg + delta[:pg], qn, tran + delta[pg + 3 :], *data)
+
+    zero = jnp.zeros((pg + 6,), dtype)
+    r = jax.vmap(lambda q, t, *d: res_local(zero, q, t, *d))(quats, trans, *view_data)
+    jac = jax.vmap(lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d))(
+        quats, trans, *view_data
+    )  # (V, m, pg+6)
+    m = jac.shape[1]
+    tdim = pg + 6 * v
+    jfull = jnp.zeros((v, m, tdim), dtype)
+    jfull = jfull.at[:, :, :pg].set(jac[..., :pg])
+    for i in range(v):  # static unroll; V is a compile-time bucket size
+        jfull = jfull.at[i, :, pg + 3 * i : pg + 3 * i + 3].set(jac[i, :, pg : pg + 3])
+        jfull = jfull.at[i, :, pg + 3 * v + 3 * i : pg + 3 * v + 3 * i + 3].set(
+            jac[i, :, pg + 3 :]
+        )
+    return r.reshape(-1), jfull.reshape(v * m, tdim)
+
+
 def lm_core_schur(
     residual_view_fn: Callable,
     xg0,

@@ -193,6 +193,11 @@ def test_schur_solver_matches_dense():
     for v in range(6):
         # 1e-5 deg is the arccos metric floor, not a real discrepancy
         assert synth.rot_err_deg(schur.c_se3_t[v], dense.c_se3_t[v]) < 1e-5
+    # block-assembled covariance == dense jacfwd covariance
+    assert dense.core.covariance is not None and schur.core.covariance is not None
+    np.testing.assert_allclose(
+        schur.core.covariance, dense.core.covariance, rtol=1e-4, atol=1e-12
+    )
     # frozen padded view untouched by both
     np.testing.assert_allclose(schur.c_se3_t[6], poses0[6], atol=1e-12)
 
