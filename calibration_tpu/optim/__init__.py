@@ -1,4 +1,4 @@
-from . import blocks, bundle, core, extrinsics, handeye, homography, intrinsics, lm, manifold, planarpose, semidlt
+from . import blocks, bundle, core, extrinsics, handeye, homography, intrinsics, lm, lm_schur, manifold, planarpose, semidlt
 from .bundle import BundleOptions, BundleResult, optimize_bundle, optimize_bundle_device
 from .core import OptimOptions, OptimResult, OptimizerType, TerminationType
 from .extrinsics import ExtrinsicOptions, ExtrinsicOptimizationResult, optimize_extrinsics, optimize_extrinsics_device
@@ -11,6 +11,7 @@ from .intrinsics import (
     optimize_intrinsics_device,
 )
 from .lm import LMOutput, covariance, lm_core
+from .lm_schur import SchurOutput, lm_core_schur
 from .manifold import ProductManifold, euclid, quat
 from .planarpose import PlanarPoseOptions, PlanarPoseResult, optimize_planar_pose, optimize_planar_pose_device
 from .semidlt import SemiDltResult, optimize_intrinsics_semidlt, optimize_intrinsics_semidlt_device
@@ -20,6 +21,7 @@ __all__ = [
     "homography", "planarpose", "intrinsics", "semidlt", "extrinsics", "handeye", "bundle",
     "OptimOptions", "OptimResult", "OptimizerType", "TerminationType",
     "lm_core", "covariance", "LMOutput", "ProductManifold", "euclid", "quat",
+    "lm_schur", "lm_core_schur", "SchurOutput",
     "optimize_homography", "optimize_homography_device", "OptimizeHomographyResult",
     "optimize_planar_pose", "optimize_planar_pose_device", "PlanarPoseOptions", "PlanarPoseResult",
     "optimize_intrinsics", "optimize_intrinsics_device", "IntrinsicsOptimOptions", "IntrinsicsOptimizationResult",

@@ -49,7 +49,10 @@ def test_fit_distortion_fixed_coefficients():
         xy, uv, K, num_radial=2, fixed_mask=fixed_mask, fixed_values=fixed_values
     )
     assert bool(ok)
-    assert float(coeffs[0]) == -0.2
+    # the pin is a final jnp.where, but XLA may rewrite select into
+    # arithmetic (observed 1-ulp drift across compiler versions) — assert
+    # to ulp-level tolerance, not bitwise equality
+    assert abs(float(coeffs[0]) - (-0.2)) < 1e-15
     np.testing.assert_allclose(np.asarray(coeffs), np.asarray(COEFFS), atol=1e-9)
 
 
