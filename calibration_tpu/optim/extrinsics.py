@@ -18,7 +18,7 @@ import numpy as np
 
 from ..models.registry import PINHOLE, CameraModelSpec
 from ..ops import se3
-from . import blocks, lm
+from . import blocks, lm, lm_schur
 from .core import OptimOptions, OptimResult, TerminationType, brief_report
 from .manifold import ProductManifold, euclid, quat
 
@@ -49,6 +49,23 @@ def unpack(x, pc, c, v):
     return intr, cq, ct, vq, vt
 
 
+def _view_residual(model, xg, vq_i, vt_i, obj_v, uv_v, mask_v, pc, c):
+    """One target view seen by all C cameras — the separable unit for the
+    Schur engine (global = intrinsics + camera poses; per-view = target
+    pose). Row order matches _residual's (C, N, 2) slice for this view."""
+    intr = xg[: c * pc].reshape(c, pc)
+    cq = xg[c * pc : c * pc + 4 * c].reshape(c, 4)
+    ct = xg[c * pc + 4 * c :].reshape(c, 3)
+    cam_rot = se3.quat_to_rotmat(cq)  # (C, 3, 3)
+    view_rot = se3.quat_to_rotmat(vq_i)  # (3, 3)
+    rot_c = jnp.einsum("cij,jk->cik", cam_rot, view_rot)
+    tra_c = jnp.einsum("cij,j->ci", cam_rot, vt_i) + ct
+    pts = jnp.concatenate([obj_v, jnp.zeros(obj_v.shape[:-1] + (1,), obj_v.dtype)], -1)
+    pc3 = jnp.einsum("cij,cnj->cni", rot_c, pts) + tra_c[:, None, :]
+    uv_hat = model.project(intr[:, None, :], pc3)
+    return ((uv_hat - uv_v) * mask_v[..., None]).reshape(-1)
+
+
 def _residual(model, x, obj_xy, img_uv, mask, pc, c, v):
     intr, cq, ct, vq, vt = unpack(x, pc, c, v)
     cam_rot = se3.quat_to_rotmat(cq)  # (C, 3, 3)
@@ -72,9 +89,16 @@ def optimize_extrinsics_device(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: ExtrinsicOptions | None = None,
+    solver: str = "schur",
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, C, N, 2); init_intrs: (C, pc);
-    init_c_se3_r: (C, 4, 4); init_r_se3_t: (V, 4, 4); mask: (V, C, N)."""
+    init_c_se3_r: (C, 4, 4); init_r_se3_t: (V, 4, 4); mask: (V, C, N).
+
+    solver="schur" (default) eliminates the per-view target poses by exact
+    block elimination (optim.lm_schur with a manifold-valued global block:
+    C intrinsics + C camera quaternion poses; Huber blocks per (view, cam)
+    pair). "dense" falls back to the generic engine.
+    """
     opts = opts or ExtrinsicOptions()
     v, c, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
     pc = model.param_count
@@ -118,13 +142,40 @@ def optimize_extrinsics_device(
 
     block_ids = jnp.repeat(jnp.arange(v * c, dtype=jnp.int32), 2 * n)
     res_fn = lambda x: _residual(model, x, obj_xy, img_uv, mask, pc, c, v)
-    out = lm.lm_core(
-        res_fn, x0, manifold, options=opts.core, free_mask=free,
-        block_ids=block_ids, num_blocks=v * c, lower=lower,
-    )
+    jac_r = None
+    if solver == "schur":
+        ga = c * pc + 7 * c
+        g_manifold = ProductManifold(
+            [euclid(pc)] * c + [quat()] * c + [euclid(3)] * c
+        )
+        res_view = lambda xg, q, t, o, u, m: _view_residual(
+            model, xg, q, t, o, u, m, pc, c
+        )
+        # per-view pose freezing doubles as the target-0 gauge fix
+        view_free = jnp.asarray(free[o_vq : o_vq + 4 * v].reshape(v, 4)[:, 0], x0.dtype)
+        sout = lm_schur.lm_core_schur(
+            res_view, x0[:ga], vq, vt, (obj_xy, img_uv, mask),
+            options=opts.core, g_free=free[:ga], view_valid=view_free,
+            lower_g=lower[:ga], g_manifold=g_manifold, blocks_per_view=c,
+        )
+        pack = lambda xg, q, t: jnp.concatenate(
+            [xg, q.reshape(-1), t.reshape(-1)]
+        )
+        out = sout.as_lm_output(pack)
+        if opts.core.compute_covariance:
+            jac_r = lm_schur.full_jacobian(
+                res_view, sout.xg, sout.quats, sout.trans,
+                (obj_xy, img_uv, mask), g_manifold=g_manifold,
+            )
+    else:
+        out = lm.lm_core(
+            res_fn, x0, manifold, options=opts.core, free_mask=free,
+            block_ids=block_ids, num_blocks=v * c, lower=lower,
+        )
     cov, cov_ok = lm.covariance(
         res_fn, out.x, manifold, free_mask=free,
         block_ids=block_ids, num_blocks=v * c, huber_delta=opts.core.huber_delta,
+        jac_r=jac_r,
     )
 
     intr, cqf, ctf, vqf, vtf = unpack(out.x, pc, c, v)
@@ -150,6 +201,7 @@ def optimize_extrinsics(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: ExtrinsicOptions | None = None,
+    solver: str = "schur",
 ):
     opts = opts or ExtrinsicOptions()
     init_cameras = jnp.asarray(init_cameras)
@@ -158,7 +210,7 @@ def optimize_extrinsics(
     out, intr, c_se3_r, r_se3_t, cov, cov_ok = optimize_extrinsics_device(
         jnp.asarray(obj_xy), jnp.asarray(img_uv), init_cameras,
         jnp.asarray(init_c_se3_r), jnp.asarray(init_r_se3_t),
-        mask=mask, model=model, opts=opts,
+        mask=mask, model=model, opts=opts, solver=solver,
     )
     core = OptimResult(
         success=bool(out.success),

@@ -81,24 +81,29 @@ def _retract_views(quats, trans, dv):
     return qn, trans + dv[..., 3:]
 
 
-def full_jacobian(residual_view_fn, xg, quats, trans, view_data):
+def full_jacobian(residual_view_fn, xg, quats, trans, view_data, g_manifold=None):
     """Assemble the full tangent-space (r, J) at a solution from per-view
-    16-tangent blocks, in the ProductManifold layout
-    [euclid(pg), quat x V, euclid(3) x V] used by optimize_intrinsics.
+    (tg + 6)-tangent blocks, in the ProductManifold layout
+    [global blocks..., quat x V, euclid(3) x V] used by
+    optimize_intrinsics / optimize_extrinsics.
 
     Feeds lm.covariance's ``jac_r`` hook: same Jacobian as its dense
-    jacfwd (pg + 6V tangents) at a fraction of the autodiff cost.
+    jacfwd (tg + 6V tangents) at a fraction of the autodiff cost.
     """
     xg = jnp.asarray(xg)
-    pg = xg.shape[-1]
+    pg = g_manifold.tangent_dim if g_manifold is not None else xg.shape[-1]
     v = quats.shape[0]
     dtype = xg.dtype
 
     def res_local(delta, quat, tran, *data):
+        if g_manifold is not None:
+            xg_new = g_manifold.retract(xg, delta[:pg])
+        else:
+            xg_new = xg + delta[:pg]
         dq = se3.exp_quat(delta[pg : pg + 3])
         qn = se3.quat_mul(quat, dq)
         qn = qn / jnp.linalg.norm(qn)
-        return residual_view_fn(xg + delta[:pg], qn, tran + delta[pg + 3 :], *data)
+        return residual_view_fn(xg_new, qn, tran + delta[pg + 3 :], *data)
 
     zero = jnp.zeros((pg + 6,), dtype)
     r = jax.vmap(lambda q, t, *d: res_local(zero, q, t, *d))(quats, trans, *view_data)
@@ -129,6 +134,8 @@ def lm_core_schur(
     view_valid=None,
     lower_g=None,
     upper_g=None,
+    g_manifold=None,
+    blocks_per_view: int = 1,
 ) -> SchurOutput:
     """Minimize 0.5 * sum_v rho(|r_v|^2) over (global, per-view pose) blocks.
 
@@ -136,25 +143,39 @@ def lm_core_schur(
       residual_view_fn: (xg, quat (4,), tran (3,), view_data_leaf...) ->
         (m,) residuals for ONE view, masked rows zeroed by the caller.
         Called under vmap over the leading V axis of ``view_data``.
-      xg0: (pg,) global euclidean block (e.g. flat intrinsics).
+      xg0: (ga,) global block, ambient coordinates. Euclidean by default;
+        pass ``g_manifold`` (a ProductManifold over the global blocks, e.g.
+        intrinsics + camera quaternion poses for multi-camera extrinsics)
+        for a manifold-valued global.
       quats0/trans0: (V, 4)/(V, 3) per-view pose blocks.
       view_data: pytree with leading V axis (obj, uv, mask, ...).
-      g_free: optional (pg,) bool/float — frozen global coords (skew).
+      g_free: optional (ga,) bool/float ambient mask — frozen global coords
+        (skew, gauge-fixed camera-0 pose). Mapped to tangent dims via
+        ``g_manifold`` when given.
       view_valid: optional (V,) — invalid views get zero residual weight and
-        frozen pose blocks (shape-bucketing padding).
-      lower_g/upper_g: optional box bounds on the global block.
+        frozen pose blocks (shape-bucketing padding / gauge-fixed target 0).
+      lower_g/upper_g: optional box bounds on the global ambient block.
+      blocks_per_view: Huber loss blocks per view (e.g. C for a C-camera
+        rig whose reference adds one loss block per (view, camera) pair);
+        each view's m residuals split into ``blocks_per_view`` equal runs.
     """
     eps = options.epsilon
     huber = options.huber_delta
     dtype = jnp.asarray(xg0).dtype
-    pg = xg0.shape[-1]
     v = quats0.shape[0]
+    pg = g_manifold.tangent_dim if g_manifold is not None else xg0.shape[-1]
 
-    gmask = (
-        jnp.ones((pg,), dtype)
-        if g_free is None
-        else jnp.asarray(g_free).astype(dtype)
-    )
+    if g_free is None:
+        gmask = jnp.ones((pg,), dtype)
+    elif g_manifold is not None:
+        gmask = g_manifold.ambient_to_tangent_mask(jnp.asarray(g_free)).astype(dtype)
+    else:
+        gmask = jnp.asarray(g_free).astype(dtype)
+
+    def g_retract(xg, dg):
+        if g_manifold is not None:
+            return g_manifold.retract(xg, dg)
+        return xg + dg
     vmask = (
         jnp.ones((v,), dtype)
         if view_valid is None
@@ -177,17 +198,21 @@ def lm_core_schur(
     use_huber = huber > 0
 
     def block_weights(r):
-        """Per-view Huber IRLS weight + robust cost (one loss block per
-        view, matching lm_core's block_ids=view layout)."""
-        s = jnp.sum(r * r, axis=-1)  # (V,)
+        """Huber IRLS row weights (V, m) + robust cost. Loss blocks are
+        ``blocks_per_view`` equal runs of each view's residuals, matching
+        lm_core's block_ids layout (one block per view, or per (view, cam)
+        pair for rigs)."""
+        m = r.shape[-1]
+        run = m // blocks_per_view
+        s = jnp.sum(r.reshape(v, blocks_per_view, run) ** 2, axis=-1)
         if not use_huber:
-            return jnp.ones_like(s), 0.5 * jnp.sum(s)
+            return jnp.ones_like(r), 0.5 * jnp.sum(s)
         d2 = huber * huber
         out = s > d2
         sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-300))
         w = jnp.where(out, huber / sqrt_s, 1.0)
         rho = jnp.where(out, 2.0 * huber * sqrt_s - d2, s)
-        return w, 0.5 * jnp.sum(rho)
+        return jnp.repeat(w, run, axis=-1), 0.5 * jnp.sum(rho)
 
     def cost_at(xg, quats, trans):
         _, c = block_weights(residuals(xg, quats, trans))
@@ -202,7 +227,7 @@ def lm_core_schur(
 
     def step(state: SchurState) -> SchurState:
         def res_local(delta, quat, tran, *data):
-            xg_new = clip_g(state.xg + delta[:pg])
+            xg_new = clip_g(g_retract(state.xg, delta[:pg]))
             dq = se3.exp_quat(delta[pg : pg + 3])
             qn = se3.quat_mul(quat, dq)
             qn = qn / jnp.linalg.norm(qn)
@@ -214,8 +239,8 @@ def lm_core_schur(
             lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d)
         )(state.quats, state.trans, *view_data)  # (V, m, pg+6)
 
-        w, _ = block_weights(r)
-        sw = jnp.sqrt(w)[:, None]
+        w, _ = block_weights(r)  # (V, m) row weights
+        sw = jnp.sqrt(w)
         rw = r * sw
         jw = jac * sw[..., None]
 
@@ -274,7 +299,7 @@ def lm_core_schur(
         step_norm = jnp.sqrt(jnp.sum(delta_g**2) + jnp.sum(delta_v**2))
         xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
 
-        xg_new = clip_g(state.xg + delta_g)
+        xg_new = clip_g(g_retract(state.xg, delta_g))
         q_new, t_new = _retract_views(state.quats, state.trans, delta_v)
         cost_new = cost_at(xg_new, q_new, t_new)
 

@@ -244,6 +244,45 @@ def test_optimize_extrinsics_two_cameras():
     np.testing.assert_allclose(res.r_se3_t[0], r0[0], atol=1e-12)
 
 
+def test_extrinsics_schur_matches_dense():
+    """Manifold-global Schur (intrinsics + camera quats in the global
+    block, target poses eliminated) lands on the dense engine's solution."""
+    rng = np.random.default_rng(21)
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    c1_se3_c0 = synth.euler_pose(0.02, -0.35, 0.01, [-0.22, 0.01, 0.015])
+    r_se3_t = synth.circle_views(6, dist=1.0)
+    n = obj.shape[0]
+    uv = np.zeros((6, 2, n, 2))
+    for v in range(6):
+        for ci, cpose in enumerate([r_se3_t[v], c1_se3_c0 @ r_se3_t[v]]):
+            uv[v, ci] = synth.render_pixels(
+                intr_gt, cpose[None], obj, noise=0.3, rng=rng
+            )[0]
+    obj_b = np.tile(obj[None, None], (6, 2, 1, 1))
+    cams0 = np.stack([intr_gt, intr_gt])
+    cams0[:, 0] += 5.0
+    c_se3_r0 = np.stack([np.eye(4), synth.euler_pose(0.01, -0.33, 0.02, [-0.2, 0.0, 0.0])])
+
+    dense = optimize_extrinsics(obj_b, uv, cams0, c_se3_r0, r_se3_t.copy(), solver="dense")
+    schur = optimize_extrinsics(obj_b, uv, cams0, c_se3_r0, r_se3_t.copy(), solver="schur")
+    assert dense.core.success and schur.core.success
+    np.testing.assert_allclose(schur.cameras, dense.cameras, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(
+        schur.core.final_cost, dense.core.final_cost, rtol=1e-9
+    )
+    for ci in range(2):
+        assert synth.rot_err_deg(schur.c_se3_r[ci], dense.c_se3_r[ci]) < 1e-5
+        assert synth.trans_err(schur.c_se3_r[ci], dense.c_se3_r[ci]) < 1e-8
+    # gauge fixes preserved: cam0 identity, target 0 untouched
+    np.testing.assert_allclose(schur.c_se3_r[0], np.eye(4), atol=1e-12)
+    np.testing.assert_allclose(schur.r_se3_t[0], r_se3_t[0], atol=1e-12)
+    assert dense.core.covariance is not None and schur.core.covariance is not None
+    np.testing.assert_allclose(
+        schur.core.covariance, dense.core.covariance, rtol=1e-4, atol=1e-12
+    )
+
+
 def test_optimize_handeye_axxb():
     sim = synth.make_handeye_sequence(num_poses=12)
     pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
