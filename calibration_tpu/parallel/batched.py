@@ -19,6 +19,7 @@ from ..models.registry import PINHOLE
 from ..ops import handeye_linear, homography as H, intrinsics_linear, planarpose
 from ..optim import OptimOptions
 from ..optim.bundle import BundleOptions, optimize_bundle_device
+from ..optim.extrinsics import ExtrinsicOptions, optimize_extrinsics_device
 from ..optim.handeye import optimize_handeye_device
 from ..optim.homography import optimize_homography_device
 from ..optim.intrinsics import IntrinsicsOptimOptions, optimize_intrinsics_device
@@ -175,6 +176,51 @@ def intrinsics_facade_batch(
     return _intrinsics_facade_batch_jit(
         *args, opts, model_name, precision, bounds, zero_skew
     )
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "model_name", "solver"))
+def _extrinsics_batch_jit(obj, uv, mask, intrs, c_se3_r, r_se3_t, opts, model_name, solver):
+    from ..models.registry import get_model
+
+    model = get_model(model_name)
+    fn = lambda o, u, m, i0, c0, r0: optimize_extrinsics_device(
+        o, u, i0, c0, r0, mask=m, model=model, opts=opts, solver=solver
+    )
+    return jax.vmap(fn)(obj, uv, mask, intrs, c_se3_r, r_se3_t)
+
+
+def extrinsics_batch(
+    obj_xy,
+    img_uv,
+    init_intrs,
+    init_c_se3_r,
+    init_r_se3_t,
+    mask=None,
+    opts: Optional[ExtrinsicOptions] = None,
+    model_name: str = "pinhole_brown_conrady",
+    mesh=None,
+    solver: str = "schur",
+):
+    """Joint multi-camera extrinsics refinement for a fleet of B rigs in
+    one device dispatch (the reference's stereo stage loops pairs serially,
+    src/pipeline/stages/stereo_stage.cpp:115-187).
+
+    obj_xy/img_uv: (B, V, C, N, 2); init_intrs: (B, C, pc);
+    init_c_se3_r: (B, C, 4, 4); init_r_se3_t: (B, V, 4, 4);
+    mask: (B, V, C, N). Returns the optimize_extrinsics_device tuple with a
+    leading B axis.
+    """
+    opts = opts or ExtrinsicOptions()
+    obj_xy = jnp.asarray(obj_xy)
+    img_uv = jnp.asarray(img_uv)
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
+    args = _maybe_shard(
+        (obj_xy, img_uv, jnp.asarray(mask, obj_xy.dtype), jnp.asarray(init_intrs),
+         jnp.asarray(init_c_se3_r), jnp.asarray(init_r_se3_t)),
+        mesh,
+    )
+    return _extrinsics_batch_jit(*args, opts, model_name, solver)
 
 
 @functools.partial(jax.jit, static_argnames=("options", "min_angle_deg"))

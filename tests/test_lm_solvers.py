@@ -283,6 +283,47 @@ def test_extrinsics_schur_matches_dense():
     )
 
 
+def test_extrinsics_batch_fleet():
+    """parallel.batched.extrinsics_batch: two stereo rigs in one vmapped
+    dispatch each recover their own ground truth."""
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    rel = [
+        synth.euler_pose(0.02, -0.35, 0.01, [-0.22, 0.01, 0.015]),
+        synth.euler_pose(-0.03, 0.3, -0.02, [0.2, -0.01, 0.01]),
+    ]
+    r_se3_t = synth.circle_views(6, dist=1.0)
+    n = obj.shape[0]
+    uv = np.zeros((2, 6, 2, n, 2))
+    for b in range(2):
+        for v in range(6):
+            for ci, cpose in enumerate([r_se3_t[v], rel[b] @ r_se3_t[v]]):
+                uv[b, v, ci] = synth.render_pixels(intr_gt, cpose[None], obj)[0]
+    obj_b = np.tile(obj[None, None, None], (2, 6, 2, 1, 1))
+    cams0 = np.tile(intr_gt[None, None], (2, 2, 1))
+    cams0[:, :, 0] += 5.0
+    c0 = np.stack(
+        [np.stack([np.eye(4), rel[b] @ synth.euler_pose(0.01, 0, 0.01, [0.01, 0, 0])])
+         for b in range(2)]
+    )
+    r0 = np.tile(r_se3_t[None], (2, 1, 1, 1))
+
+    from calibration_tpu.parallel import batched
+    from calibration_tpu.optim import ExtrinsicOptions as EO
+
+    out, intr, c_se3_r, rt, cov, cov_ok = batched.extrinsics_batch(
+        obj_b, uv, cams0, c0, r0,
+        opts=EO(core=OptimOptions(compute_covariance=False)),
+    )
+    assert np.asarray(out.success).all()
+    for b in range(2):
+        assert synth.rot_err_deg(np.asarray(c_se3_r)[b, 1], rel[b]) < 1e-5
+        assert synth.trans_err(np.asarray(c_se3_r)[b, 1], rel[b]) < 1e-6
+        np.testing.assert_allclose(
+            np.asarray(intr)[b, :, :4], np.tile(intr_gt[:4], (2, 1)), atol=1e-5
+        )
+
+
 def test_optimize_handeye_axxb():
     sim = synth.make_handeye_sequence(num_poses=12)
     pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])

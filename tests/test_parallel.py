@@ -50,6 +50,37 @@ def test_pad_batch():
     assert padded["a"].shape[0] == 16
 
 
+def test_extrinsics_batch_sharded():
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    rel = synth.euler_pose(0.02, -0.35, 0.01, [-0.22, 0.01, 0.015])
+    r_se3_t = synth.circle_views(6, dist=1.0)
+    n = obj.shape[0]
+    uv = np.zeros((6, 2, n, 2))
+    for v in range(6):
+        for ci, cpose in enumerate([r_se3_t[v], rel @ r_se3_t[v]]):
+            uv[v, ci] = synth.render_pixels(intr, cpose[None], obj)[0]
+    b = 8
+    obj_b = np.tile(obj[None, None, None], (b, 6, 2, 1, 1))
+    uv_b = np.tile(uv[None], (b, 1, 1, 1, 1))
+    cams0 = np.tile(intr[None, None], (b, 2, 1))
+    c0 = np.tile(np.stack([np.eye(4), rel])[None], (b, 1, 1, 1))
+    r0 = np.tile(r_se3_t[None], (b, 1, 1, 1))
+
+    from calibration_tpu.optim import ExtrinsicOptions
+
+    mesh = sh.make_mesh()
+    out, intr_est, c_se3_r, rt, cov, cov_ok = batched.extrinsics_batch(
+        obj_b, uv_b, cams0, c0, r0,
+        opts=ExtrinsicOptions(core=OptimOptions(max_iterations=40, compute_covariance=False)),
+        mesh=mesh,
+    )
+    assert np.asarray(out.success).all()
+    np.testing.assert_allclose(
+        np.asarray(intr_est)[:, :, :4], np.tile(intr[:4], (b, 2, 1)), atol=1e-4
+    )
+
+
 def test_intrinsics_batch_sharded():
     intr = synth.default_camera()
     obj = synth.make_target_grid(5, 7, 0.05)
