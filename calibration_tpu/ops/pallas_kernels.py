@@ -121,9 +121,39 @@ def projection_residuals_xla(rot, tra, intr, obj_xy, img_uv, mask):
     return (uv_hat - img_uv) * mask[..., None]
 
 
+@functools.lru_cache(maxsize=1)
+def native_pallas_available() -> bool:
+    """Whether Mosaic (non-interpret) pallas lowering works on this backend.
+
+    Some TPU attachments lower pallas through the CPU path and raise
+    "Only interpret mode is supported on CPU backend" at compile time —
+    a backend-name check is not enough, so probe with a tiny compile once
+    per process and cache the answer.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        one = jnp.ones((ROW_TILE, LANE_TILE), jnp.float32)
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (ROW_TILE, 3, 3))
+        tra = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (ROW_TILE, 1))
+        intr = jnp.tile(
+            jnp.array([[1.0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0]], jnp.float32),
+            (ROW_TILE, 1),
+        )
+        obj = jnp.zeros((ROW_TILE, LANE_TILE, 2), jnp.float32)
+        uv = jnp.zeros((ROW_TILE, LANE_TILE, 2), jnp.float32)
+        jax.block_until_ready(
+            projection_residuals_f32(rot, tra, intr, obj, uv, one, interpret=False)
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any lowering/compile failure => fall back
+        return False
+
+
 def projection_residuals(rot, tra, intr, obj_xy, img_uv, mask):
-    """Fused f32 residuals: Pallas on TPU, XLA elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Fused f32 residuals: native Pallas when the backend supports it,
+    XLA (which fuses this chain well) otherwise."""
+    if native_pallas_available():
         return projection_residuals_f32(rot, tra, intr, obj_xy, img_uv, mask)
     return projection_residuals_xla(
         rot.astype(jnp.float32), tra.astype(jnp.float32), intr.astype(jnp.float32),

@@ -64,6 +64,30 @@ def test_pallas_matches_f64_oracle_interpret():
     assert np.all(got[~mask] == 0.0)
 
 
+def test_projection_residuals_dispatcher_any_backend():
+    """The public entry point must never raise: it probes whether native
+    Mosaic lowering actually works (some TPU attachments lower pallas via
+    the CPU path and fail at compile time) and falls back to XLA."""
+    rot, tra, intr, obj, uv, mask = _problem()
+    args = (
+        jnp.asarray(rot), jnp.asarray(tra), jnp.asarray(intr),
+        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(mask, jnp.float32),
+    )
+    r = np.asarray(pk.projection_residuals(*args))
+    assert isinstance(pk.native_pallas_available(), bool)
+    # consistency with whichever implementation the probe selected (each
+    # implementation's accuracy is asserted vs the f64 oracle elsewhere;
+    # the XLA f32 fallback is deliberately NOT compared to the oracle here
+    # — see the module docstring on this backend's tiny-array f32 quirk)
+    if pk.native_pallas_available():
+        want = pk.projection_residuals_f32(*args)
+    else:
+        want = pk.projection_residuals_xla(
+            *(a.astype(jnp.float32) for a in args)
+        )
+    np.testing.assert_allclose(r, np.asarray(want), atol=0)
+
+
 def test_pallas_multi_tile_shapes():
     # > 8 rows and > 128 points exercises the grid index maps
     rot, tra, intr, obj, uv, mask = _problem(r=19, n=150, seed=5)
