@@ -127,75 +127,27 @@ def tpu_throughput(obj, uv, repeats=3):
 
 
 def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
-    """scipy.optimize.least_squares (TRF) as the sequential-CPU stand-in for
-    the Ceres reference (same residual, analytic-free dense solver)."""
+    """Sequential Ceres-class CPU stand-in: scipy.optimize.least_squares
+    (TRF) with the hand-derived ANALYTIC Jacobian from
+    benchmarks/cpu_baseline.py (verified against finite differences in
+    tests/test_cpu_baseline.py). Round-1's finite-difference stand-in
+    understated the baseline ~10x; this is the honest multiplier."""
     try:
-        from scipy.optimize import least_squares
+        from benchmarks import cpu_baseline as cb
     except Exception:
         return None
 
     b = min(max_problems, obj.shape[0])
-    v, n = obj.shape[1], obj.shape[2]
-
-    def residual(x, obj_v, uv_v):
-        intr = x[:10]
-        poses6 = x[10:].reshape(v, 6)
-        fx, fy, cx, cy, skew = intr[:5]
-        k1, k2, k3, p1, p2 = intr[5:]
-        res = np.zeros((v, n, 2))
-        for i in range(v):
-            w = poses6[i, :3]
-            th = np.linalg.norm(w)
-            if th < 1e-12:
-                rot = np.eye(3)
-            else:
-                a = w / th
-                km = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
-                rot = np.eye(3) + np.sin(th) * km + (1 - np.cos(th)) * (km @ km)
-            pts = np.concatenate([obj_v[i], np.zeros((n, 1))], -1) @ rot.T + poses6[i, 3:]
-            xn = pts[:, 0] / pts[:, 2]
-            yn = pts[:, 1] / pts[:, 2]
-            r2 = xn * xn + yn * yn
-            rad = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
-            xd = xn * rad + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
-            yd = yn * rad + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
-            res[i, :, 0] = fx * xd + skew * yd + cx - uv_v[i, :, 0]
-            res[i, :, 1] = fy * yd + cy - uv_v[i, :, 1]
-        return res.ravel()
-
     t0 = time.time()
     for i in range(b):
-        x0 = np.concatenate([intr_gt * (1 + 0.01), np.zeros(6 * v)])
-        p6 = np.zeros((v, 6))
-        for j in range(v):
-            rot = poses0[i, j, :3, :3]
-            # rotation matrix -> axis-angle via quaternion
-            q = _rot_to_quat(rot)
-            s = np.linalg.norm(q[1:])
-            ang = 2 * np.arctan2(s, q[0])
-            p6[j, :3] = (q[1:] / s * ang) if s > 1e-12 else np.zeros(3)
-            p6[j, 3:] = poses0[i, j, :3, 3]
-        x0[10:] = p6.ravel()
-        least_squares(residual, x0, args=(obj[i], uv[i]), method="trf", xtol=1e-9, ftol=1e-9)
+        x0 = cb.intrinsics_x0(intr_gt * (1 + 0.01), poses0[i])
+        cb.solve_intrinsics_cpu(obj[i], uv[i], x0)
     dt = time.time() - t0
-    print(f"[bench] cpu baseline: {b} solves in {dt:.2f}s", file=sys.stderr)
+    print(
+        f"[bench] cpu baseline (analytic-jac TRF): {b} solves in {dt:.2f}s",
+        file=sys.stderr,
+    )
     return b / dt
-
-
-def _rot_to_quat(r):
-    tr = np.trace(r)
-    if tr > 0:
-        s = np.sqrt(tr + 1.0) * 2
-        return np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
-    i = int(np.argmax(np.diag(r)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    s = np.sqrt(max(1e-12, 1.0 + r[i, i] - r[j, j] - r[k, k])) * 2
-    q = np.zeros(4)
-    q[0] = (r[k, j] - r[j, k]) / s
-    q[i + 1] = 0.25 * s
-    q[j + 1] = (r[j, i] + r[i, j]) / s
-    q[k + 1] = (r[k, i] + r[i, k]) / s
-    return q / np.linalg.norm(q)
 
 
 def main():

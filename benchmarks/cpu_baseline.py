@@ -1,0 +1,457 @@
+"""Ceres-class CPU baselines: sequential scipy TRF with analytic/AD Jacobians.
+
+Round-1 review flagged the finite-difference scipy stand-in as weaker than
+Ceres (BASELINE.md), and the real reference cannot be built offline (no
+Ceres/Eigen in the image). This module closes the gap the honest way:
+
+- planar intrinsics (the headline config) gets a fully ANALYTIC, vectorized
+  numpy Jacobian (hand-derived Brown-Conrady + SO(3) right-Jacobian chain,
+  verified against finite differences in tests/test_cpu_baseline.py);
+- homography gets an analytic Jacobian of the transfer residual;
+- multi-camera extrinsics, hand-eye AX=XB, and bundle get torch.func
+  autodiff Jacobians (reverse-mode over the exact residual — the same
+  Jacobian class as Ceres' autodiff Jets).
+
+All solvers run one problem at a time on the host CPU — the reference's
+execution model (serial per-sensor/pair/rig loops, SURVEY.md section 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# SO(3) helpers (numpy)
+# ---------------------------------------------------------------------------
+
+def skew(w):
+    """(..., 3) -> (..., 3, 3)."""
+    w = np.asarray(w)
+    out = np.zeros(w.shape[:-1] + (3, 3))
+    out[..., 0, 1], out[..., 0, 2] = -w[..., 2], w[..., 1]
+    out[..., 1, 0], out[..., 1, 2] = w[..., 2], -w[..., 0]
+    out[..., 2, 0], out[..., 2, 1] = -w[..., 1], w[..., 0]
+    return out
+
+
+def so3_exp(w):
+    """Rodrigues (..., 3) -> (..., 3, 3)."""
+    w = np.asarray(w, float)
+    th2 = np.sum(w * w, axis=-1)
+    th = np.sqrt(th2)
+    small = th < 1e-8
+    # sin(t)/t and (1-cos t)/t^2 with series fallbacks
+    a = np.where(small, 1.0 - th2 / 6.0, np.sin(th) / np.where(small, 1.0, th))
+    b = np.where(small, 0.5 - th2 / 24.0, (1.0 - np.cos(th)) / np.where(small, 1.0, th2))
+    W = skew(w)
+    W2 = W @ W
+    return np.eye(3) + a[..., None, None] * W + b[..., None, None] * W2
+
+
+def so3_right_jacobian(w):
+    """Jr(w): exp(w + d) ~= exp(w) exp(Jr(w) d)."""
+    w = np.asarray(w, float)
+    th2 = np.sum(w * w, axis=-1)
+    th = np.sqrt(th2)
+    small = th < 1e-8
+    th2s = np.where(small, 1.0, th2)
+    b = np.where(small, 0.5 - th2 / 24.0, (1.0 - np.cos(th)) / th2s)
+    c = np.where(small, 1.0 / 6.0 - th2 / 120.0, (th - np.sin(th)) / (th2s * np.where(small, 1.0, th)))
+    W = skew(w)
+    return np.eye(3) - b[..., None, None] * W + c[..., None, None] * (W @ W)
+
+
+def so3_log(r):
+    """(3, 3) -> (3,) axis-angle."""
+    tr = np.clip((np.trace(r) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(tr)
+    if th < 1e-8:
+        return np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]) * 0.5
+    return (
+        np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+        * th
+        / (2.0 * np.sin(th))
+    )
+
+
+def pose_to_w_t(m):
+    """4x4 -> (w(3), t(3))."""
+    return so3_log(np.asarray(m)[:3, :3]), np.asarray(m)[:3, 3].copy()
+
+
+# ---------------------------------------------------------------------------
+# Brown-Conrady forward + derivatives (vectorized numpy)
+# ---------------------------------------------------------------------------
+
+def distort_with_jac(xn, yn, k):
+    """k = [k1, k2, k3, p1, p2]. Returns (xd, yd, D, Dk) with
+    D (..., 2, 2) = d(xd, yd)/d(xn, yn) and Dk (..., 2, 5) the coefficient
+    partials (distortion.h:93-116 forward model)."""
+    k1, k2, k3, p1, p2 = k
+    r2 = xn * xn + yn * yn
+    rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    drad = k1 + 2.0 * k2 * r2 + 3.0 * k3 * r2 * r2
+    xd = xn * rad + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+    yd = yn * rad + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+
+    dxd_dxn = rad + 2.0 * xn * xn * drad + 2.0 * p1 * yn + 6.0 * p2 * xn
+    dxd_dyn = 2.0 * xn * yn * drad + 2.0 * p1 * xn + 2.0 * p2 * yn
+    dyd_dxn = dxd_dyn  # symmetric by inspection of the model
+    dyd_dyn = rad + 2.0 * yn * yn * drad + 6.0 * p1 * yn + 2.0 * p2 * xn
+    D = np.stack(
+        [
+            np.stack([dxd_dxn, dxd_dyn], -1),
+            np.stack([dyd_dxn, dyd_dyn], -1),
+        ],
+        axis=-2,
+    )
+    r4 = r2 * r2
+    Dk = np.stack(
+        [
+            np.stack([xn * r2, xn * r4, xn * r4 * r2, 2.0 * xn * yn, r2 + 2.0 * xn * xn], -1),
+            np.stack([yn * r2, yn * r4, yn * r4 * r2, r2 + 2.0 * yn * yn, 2.0 * xn * yn], -1),
+        ],
+        axis=-2,
+    )
+    return xd, yd, D, Dk
+
+
+# ---------------------------------------------------------------------------
+# Config 2: planar intrinsics — analytic residual + Jacobian
+# x = [fx, fy, cx, cy, skew, k1, k2, k3, p1, p2, (w_v(3), t_v(3)) * V]
+# ---------------------------------------------------------------------------
+
+def intrinsics_residual_jac(x, obj, uv, with_jac=True):
+    """obj/uv: (V, N, 2). Returns residual (V*N*2,) and J (V*N*2, 10+6V)."""
+    v, n = obj.shape[0], obj.shape[1]
+    intr, poses = x[:10], x[10:].reshape(v, 6)
+    fx, fy, cx, cy, sk = intr[:5]
+    kco = intr[5:]
+    w, t = poses[:, :3], poses[:, 3:]
+
+    R = so3_exp(w)  # (V, 3, 3)
+    X = np.concatenate([obj, np.zeros((v, n, 1))], -1)  # (V, N, 3)
+    pc = np.einsum("vij,vnj->vni", R, X) + t[:, None, :]
+    z = pc[..., 2]
+    xn = pc[..., 0] / z
+    yn = pc[..., 1] / z
+    xd, yd, D, Dk = distort_with_jac(xn, yn, kco)
+    u_hat = fx * xd + sk * yd + cx
+    v_hat = fy * yd + cy
+    res = np.stack([u_hat - uv[..., 0], v_hat - uv[..., 1]], -1)  # (V, N, 2)
+    if not with_jac:
+        return res.reshape(-1), None
+
+    m = v * n * 2
+    J = np.zeros((m, 10 + 6 * v))
+    # d(u, v)/d(xd, yd) — constant per problem
+    A = np.array([[fx, sk], [0.0, fy]])  # (2, 2)
+    # intrinsic linear part: du/d[fx,fy,cx,cy,skew]
+    Ju = np.zeros((v, n, 2, 5))
+    Ju[..., 0, 0] = xd
+    Ju[..., 0, 2] = 1.0
+    Ju[..., 0, 4] = yd
+    Ju[..., 1, 1] = yd
+    Ju[..., 1, 3] = 1.0
+    # distortion coeffs: (A @ Dk)
+    Jk = np.einsum("ab,vnbk->vnak", A, Dk)  # (V, N, 2, 5)
+    # normalized coords: P = d(xn, yn)/d(pc) (V, N, 2, 3)
+    iz = 1.0 / z
+    P = np.zeros((v, n, 2, 3))
+    P[..., 0, 0] = iz
+    P[..., 0, 2] = -xn * iz
+    P[..., 1, 1] = iz
+    P[..., 1, 2] = -yn * iz
+    # d(u,v)/d(pc) = A @ D @ P
+    AD = np.einsum("ab,vnbc->vnac", A, D)  # (V, N, 2, 2)
+    G = np.einsum("vnab,vnbc->vnac", AD, P)  # (V, N, 2, 3)
+    # pose partials: d pc/d t = I; d pc/d w = -R [X]_x Jr(w)
+    Jr = so3_right_jacobian(w)  # (V, 3, 3)
+    RX = np.einsum("vij,vnjk->vnik", R, skew(X))  # R [X]_x
+    dpc_dw = -np.einsum("vnij,vjk->vnik", RX, Jr)  # (V, N, 3, 3)
+    Jw = np.einsum("vnab,vnbc->vnac", G, dpc_dw)  # (V, N, 2, 3)
+    Jt = G  # (V, N, 2, 3)
+
+    J = J.reshape(v, n, 2, 10 + 6 * v)
+    J[..., :5] = Ju
+    J[..., 5:10] = Jk
+    for i in range(v):
+        J[i, :, :, 10 + 6 * i : 13 + 6 * i] = Jw[i]
+        J[i, :, :, 13 + 6 * i : 16 + 6 * i] = Jt[i]
+    return res.reshape(-1), J.reshape(m, 10 + 6 * v)
+
+
+def solve_intrinsics_cpu(obj, uv, x0, xtol=1e-9, ftol=1e-9, gtol=1e-9):
+    """One sequential CPU solve with the analytic Jacobian."""
+    from scipy.optimize import least_squares
+
+    fun = lambda x: intrinsics_residual_jac(x, obj, uv, with_jac=False)[0]
+    jac = lambda x: intrinsics_residual_jac(x, obj, uv)[1]
+    return least_squares(fun, x0, jac=jac, method="trf", xtol=xtol, ftol=ftol, gtol=gtol)
+
+
+def intrinsics_x0(intr0, poses0):
+    """Pack [intr(10), (w, t) * V] from flat intrinsics and 4x4 poses."""
+    v = poses0.shape[0]
+    x0 = np.zeros(10 + 6 * v)
+    x0[:10] = intr0
+    for j in range(v):
+        w, t = pose_to_w_t(poses0[j])
+        x0[10 + 6 * j : 13 + 6 * j] = w
+        x0[13 + 6 * j : 16 + 6 * j] = t
+    return x0
+
+
+# ---------------------------------------------------------------------------
+# Config 1: homography — analytic Jacobian of the transfer residual
+# x = h[:8] (H22 == 1)
+# ---------------------------------------------------------------------------
+
+def homography_residual_jac(x, src, dst, with_jac=True):
+    """src/dst: (N, 2). Residual (2N,), J (2N, 8)."""
+    h = np.append(x, 1.0).reshape(3, 3)
+    n = src.shape[0]
+    xs, ys = src[:, 0], src[:, 1]
+    den = h[2, 0] * xs + h[2, 1] * ys + 1.0
+    nu = h[0, 0] * xs + h[0, 1] * ys + h[0, 2]
+    nv = h[1, 0] * xs + h[1, 1] * ys + h[1, 2]
+    u = nu / den
+    v = nv / den
+    res = np.stack([u - dst[:, 0], v - dst[:, 1]], -1).reshape(-1)
+    if not with_jac:
+        return res, None
+    J = np.zeros((n, 2, 8))
+    iden = 1.0 / den
+    J[:, 0, 0] = xs * iden
+    J[:, 0, 1] = ys * iden
+    J[:, 0, 2] = iden
+    J[:, 0, 6] = -u * xs * iden
+    J[:, 0, 7] = -u * ys * iden
+    J[:, 1, 3] = xs * iden
+    J[:, 1, 4] = ys * iden
+    J[:, 1, 5] = iden
+    J[:, 1, 6] = -v * xs * iden
+    J[:, 1, 7] = -v * ys * iden
+    return res, J.reshape(2 * n, 8)
+
+
+def solve_homography_cpu(src, dst, h0, **tol):
+    from scipy.optimize import least_squares
+
+    x0 = (h0 / h0[2, 2]).reshape(9)[:8]
+    fun = lambda x: homography_residual_jac(x, src, dst, with_jac=False)[0]
+    jac = lambda x: homography_residual_jac(x, src, dst)[1]
+    r = least_squares(fun, x0, jac=jac, method="trf",
+                      xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
+                      gtol=tol.get("gtol", 1e-9))
+    return r, np.append(r.x, 1.0).reshape(3, 3)
+
+
+# ---------------------------------------------------------------------------
+# torch autodiff residuals (Ceres-Jet-class Jacobians) for the chained-pose
+# configs: extrinsics (3), hand-eye (4), bundle (5)
+# ---------------------------------------------------------------------------
+
+def _torch():
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    return torch
+
+
+def _t_so3_exp(torch, w):
+    th = torch.linalg.norm(w)
+    W = torch.zeros((3, 3), dtype=w.dtype)
+    W[0, 1], W[0, 2] = -w[2], w[1]
+    W[1, 0], W[1, 2] = w[2], -w[0]
+    W[2, 0], W[2, 1] = -w[1], w[0]
+    th2 = th * th
+    small = th < 1e-8
+    a = torch.where(small, 1.0 - th2 / 6.0, torch.sin(th) / torch.where(small, torch.ones_like(th), th))
+    b = torch.where(small, 0.5 - th2 / 24.0, (1.0 - torch.cos(th)) / torch.where(small, torch.ones_like(th2), th2))
+    return torch.eye(3, dtype=w.dtype) + a * W + b * (W @ W)
+
+
+def _t_project(torch, intr, pc):
+    fx, fy, cx, cy, sk = intr[0], intr[1], intr[2], intr[3], intr[4]
+    k1, k2, k3, p1, p2 = intr[5], intr[6], intr[7], intr[8], intr[9]
+    xn = pc[..., 0] / pc[..., 2]
+    yn = pc[..., 1] / pc[..., 2]
+    r2 = xn * xn + yn * yn
+    rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = xn * rad + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+    yd = yn * rad + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+    return torch.stack([fx * xd + sk * yd + cx, fy * yd + cy], -1)
+
+
+class TorchResidual:
+    """Wrap a torch residual fn into scipy (fun, jac) callables with
+    reverse-mode torch.func Jacobians."""
+
+    def __init__(self, fn):
+        import torch.func as tfunc
+
+        self.torch = _torch()
+        self.fn = fn
+        self.jac_fn = tfunc.jacrev(fn)
+
+    def fun(self, x):
+        t = self.torch.as_tensor(x)
+        return self.fn(t).detach().numpy()
+
+    def jac(self, x):
+        t = self.torch.as_tensor(x)
+        return self.jac_fn(t).detach().numpy()
+
+
+def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
+    """Joint multi-camera extrinsics refinement, gauge-fixed at cam0
+    (optimize_extrinsics semantics, src/estimation/optim/extrinsics.cpp).
+
+    obj/uv: (V, C, N, 2); intr0: (C, 10); c0: (C, 4, 4); r0: (V, 4, 4).
+    x = [cam pose (w, t) for c >= 1, target pose (w, t) per view, intr per cam].
+    """
+    from scipy.optimize import least_squares
+
+    torch = _torch()
+    v, c, n = obj.shape[0], obj.shape[1], obj.shape[2]
+    obj_t = torch.as_tensor(np.concatenate([obj, np.zeros((v, c, n, 1))], -1))
+    uv_t = torch.as_tensor(np.array(uv, float))
+
+    def unpack(x):
+        off = 0
+        cams = [torch.eye(4, dtype=x.dtype)]
+        for _ in range(c - 1):
+            w, t = x[off : off + 3], x[off + 3 : off + 6]
+            m = torch.cat(
+                [torch.cat([_t_so3_exp(torch, w), t[:, None]], 1),
+                 torch.tensor([[0.0, 0, 0, 1]], dtype=x.dtype)], 0)
+            cams.append(m)
+            off += 6
+        views = []
+        for _ in range(v):
+            w, t = x[off : off + 3], x[off + 3 : off + 6]
+            m = torch.cat(
+                [torch.cat([_t_so3_exp(torch, w), t[:, None]], 1),
+                 torch.tensor([[0.0, 0, 0, 1]], dtype=x.dtype)], 0)
+            views.append(m)
+            off += 6
+        intrs = x[off:].reshape(c, 10)
+        return cams, views, intrs
+
+    def residual(x):
+        cams, views, intrs = unpack(x)
+        out = []
+        for vi in range(v):
+            for ci in range(c):
+                m = cams[ci] @ views[vi]
+                pc = obj_t[vi, ci] @ m[:3, :3].T + m[:3, 3]
+                out.append((_t_project(torch, intrs[ci], pc) - uv_t[vi, ci]).reshape(-1))
+        return torch.cat(out)
+
+    x0 = []
+    for ci in range(1, c):
+        w, t = pose_to_w_t(c0[ci])
+        x0 += [w, t]
+    for vi in range(v):
+        w, t = pose_to_w_t(r0[vi])
+        x0 += [w, t]
+    x0.append(np.asarray(intr0).reshape(-1))
+    x0 = np.concatenate([np.ravel(a) for a in x0])
+
+    tr = TorchResidual(residual)
+    return least_squares(tr.fun, x0, jac=tr.jac, method="trf",
+                         xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
+                         gtol=tol.get("gtol", 1e-9))
+
+
+def solve_handeye_cpu(b_se3_g, c_se3_t, x0_pose, min_angle_deg=1.0, **tol):
+    """AX=XB refinement over motion pairs (optimize_handeye semantics,
+    6-vector residual log(RA RX RB^T RX^T) (+) ((RA - I) tX - (RX tB - tA))).
+    x = [w(3), t(3)] of X = g_se3_c."""
+    from scipy.optimize import least_squares
+
+    torch = _torch()
+    # all-pairs motion generation with angle filter (handeyedlt.cpp:25-81)
+    p = len(b_se3_g)
+    As, Bs = [], []
+    for i in range(p):
+        for j in range(i + 1, p):
+            A = np.linalg.solve(b_se3_g[j], b_se3_g[i])  # gj^-1 gi
+            B = c_se3_t[j] @ np.linalg.inv(c_se3_t[i])
+            ang = np.degrees(np.linalg.norm(so3_log(A[:3, :3])))
+            if ang >= min_angle_deg:
+                As.append(A)
+                Bs.append(B)
+    A_t = torch.as_tensor(np.stack(As))
+    B_t = torch.as_tensor(np.stack(Bs))
+
+    def t_log_so3(R):
+        tr = torch.clamp((R[0, 0] + R[1, 1] + R[2, 2] - 1.0) * 0.5, -1 + 1e-12, 1 - 1e-12)
+        th = torch.acos(tr)
+        vec = torch.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        scale = torch.where(th < 1e-8, torch.tensor(0.5, dtype=R.dtype), th / (2.0 * torch.sin(th)))
+        return vec * scale
+
+    def residual(x):
+        RX = _t_so3_exp(torch, x[:3])
+        tX = x[3:]
+        out = []
+        for k in range(A_t.shape[0]):
+            RA, tA = A_t[k, :3, :3], A_t[k, :3, 3]
+            RB, tB = B_t[k, :3, :3], B_t[k, :3, 3]
+            rrot = t_log_so3(RA @ RX @ RB.T @ RX.T)
+            rtra = (RA - torch.eye(3, dtype=x.dtype)) @ tX - (RX @ tB - tA)
+            out.append(torch.cat([rrot, rtra]))
+        return torch.cat(out)
+
+    w0, t0 = pose_to_w_t(x0_pose)
+    tr = TorchResidual(residual)
+    res = least_squares(tr.fun, np.concatenate([w0, t0]), jac=tr.jac, method="trf",
+                        xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
+                        gtol=tol.get("gtol", 1e-9))
+    m = np.eye(4)
+    m[:3, :3] = so3_exp(res.x[:3])
+    m[:3, 3] = res.x[3:]
+    return res, m
+
+
+def solve_bundle_cpu(obj, uv, b_se3_g, intr, g0, b0, **tol):
+    """Single-camera bundle: refine hand-eye X = g_se3_c and target pose
+    b_se3_t with fixed intrinsics (optimize_bundle core chain
+    c_se3_t = X^-1 g^-1 b_se3_t, residuals/bundleresidual.h:14-69).
+
+    obj/uv: (O, N, 2); b_se3_g: (O, 4, 4). x = [wX, tX, wT, tT]."""
+    from scipy.optimize import least_squares
+
+    torch = _torch()
+    o, n = obj.shape[0], obj.shape[1]
+    obj_t = torch.as_tensor(np.concatenate([obj, np.zeros((o, n, 1))], -1))
+    uv_t = torch.as_tensor(np.array(uv, float))
+    g_inv = torch.as_tensor(np.linalg.inv(np.asarray(b_se3_g)))  # (O, 4, 4)
+    intr_t = torch.as_tensor(np.array(intr, float))
+
+    def residual(x):
+        RX = _t_so3_exp(torch, x[:3])
+        tX = x[3:6]
+        RT = _t_so3_exp(torch, x[6:9])
+        tT = x[9:12]
+        out = []
+        for k in range(o):
+            # c_se3_t = X^-1 * (b_se3_g)^-1 * b_se3_t
+            Rg, tg = g_inv[k, :3, :3], g_inv[k, :3, 3]
+            Rgt = Rg @ RT
+            tgt = Rg @ tT + tg
+            Rc = RX.T @ Rgt
+            tc = RX.T @ (tgt - tX)
+            pc = obj_t[k] @ Rc.T + tc
+            out.append((_t_project(torch, intr_t, pc) - uv_t[k]).reshape(-1))
+        return torch.cat(out)
+
+    wX, tX = pose_to_w_t(g0)
+    wT, tT = pose_to_w_t(b0)
+    tr = TorchResidual(residual)
+    return least_squares(tr.fun, np.concatenate([wX, tX, wT, tT]), jac=tr.jac,
+                         method="trf", xtol=tol.get("xtol", 1e-9),
+                         ftol=tol.get("ftol", 1e-9), gtol=tol.get("gtol", 1e-9))

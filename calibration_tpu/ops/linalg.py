@@ -97,15 +97,33 @@ def smallest_singular_vector(a, via_gram: bool = True):
         g = jnp.einsum("...ki,...kj->...ij", a, a)
         _, _, vt = jnp.linalg.svd(g)
         v = vt[..., -1, :]
-        # one inverse-power refinement step recovers the accuracy the
-        # squared conditioning cost: solve (G + eps I) w = v, renormalize
+        # Inverse-power refinement recovers the accuracy the squared
+        # conditioning cost — and, crucially, makes the result independent of
+        # the batched small-SVD start vector: on this TPU attachment the
+        # BATCHED f64 svd of tiny gram stacks occasionally returns a wrong or
+        # non-finite vector for individual batch elements (the unbatched call
+        # is fine). Inverse iteration amplifies the smallest-eigenpair
+        # component by (lambda_1 + eps)/(lambda_0 + eps) per step, so two
+        # steps from ANY finite start vector land on the null vector.
+        #
+        # The shift must clear Cholesky roundoff on an exactly-singular G
+        # (~ n*u*||G|| relative), else the factorization itself goes NaN and
+        # refinement is lost; eps perturbs eigenVALUES only — G and G+eps*I
+        # share eigenvectors exactly — so a comfortably large 1e-12 relative
+        # shift costs nothing in accuracy.
+        finite = jnp.all(jnp.isfinite(v), axis=-1, keepdims=True)
+        v = jnp.where(finite, jnp.where(jnp.isfinite(v), v, 0.0),
+                      jnp.ones_like(v) / jnp.sqrt(jnp.asarray(n, a.dtype)))
         tr = jnp.trace(g, axis1=-2, axis2=-1)
-        eps = (1e-14 / n) * tr + 1e-300
+        eps = (1e-12 / n) * tr + 1e-300
         shifted = g + eps[..., None, None] * jnp.eye(n, dtype=a.dtype)
-        w = spd_solve(shifted, v)
-        nrm = jnp.linalg.norm(w, axis=-1, keepdims=True)
-        ok = jnp.isfinite(nrm) & (nrm > 0)
-        return jnp.where(ok, w / jnp.where(ok, nrm, 1.0), v)
+        w = v
+        for _ in range(2):
+            w_new = spd_solve(shifted, w)
+            nrm = jnp.linalg.norm(w_new, axis=-1, keepdims=True)
+            ok = jnp.all(jnp.isfinite(w_new), axis=-1, keepdims=True) & (nrm > 0)
+            w = jnp.where(ok, w_new / jnp.where(ok, nrm, 1.0), w)
+        return w
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
     return vt[..., -1, :]
 

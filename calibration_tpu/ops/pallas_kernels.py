@@ -111,6 +111,7 @@ def projection_residuals_f32(rot, tra, intr, obj_xy, img_uv, mask, interpret=Fal
     return jnp.stack([rx[:r, :n], ry[:r, :n]], axis=-1)
 
 
+@jax.jit
 def projection_residuals_xla(rot, tra, intr, obj_xy, img_uv, mask):
     """Reference XLA implementation (fallback + correctness oracle)."""
     from ..models import pinhole
@@ -152,10 +153,14 @@ def native_pallas_available() -> bool:
 
 def projection_residuals(rot, tra, intr, obj_xy, img_uv, mask):
     """Fused f32 residuals: native Pallas when the backend supports it,
-    XLA (which fuses this chain well) otherwise."""
+    XLA (which fuses this chain well) otherwise.
+
+    The probe compiles a tiny pallas program, so this dispatcher must be
+    called OUTSIDE any jit trace (both branches are jitted themselves)."""
     if native_pallas_available():
         return projection_residuals_f32(rot, tra, intr, obj_xy, img_uv, mask)
     return projection_residuals_xla(
-        rot.astype(jnp.float32), tra.astype(jnp.float32), intr.astype(jnp.float32),
-        obj_xy.astype(jnp.float32), img_uv.astype(jnp.float32), mask.astype(jnp.float32),
+        jnp.asarray(rot, jnp.float32), jnp.asarray(tra, jnp.float32),
+        jnp.asarray(intr, jnp.float32), jnp.asarray(obj_xy, jnp.float32),
+        jnp.asarray(img_uv, jnp.float32), jnp.asarray(mask, jnp.float32),
     )

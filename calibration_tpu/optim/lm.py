@@ -70,7 +70,7 @@ def _plain_cost(r):
     return 0.5 * jnp.sum(r * r)
 
 
-def lm_core(
+def make_lm_step(
     residual_fn: Callable,
     x0,
     manifold: ProductManifold,
@@ -81,23 +81,15 @@ def lm_core(
     num_blocks: int = 0,
     lower=None,
     upper=None,
-) -> LMOutput:
-    """Minimize 0.5 * sum rho(|r|^2) over the manifold.
+) -> tuple[LMState, Callable, Callable]:
+    """Build one LM iteration as a pure ``LMState -> LMState`` function.
 
-    Args:
-      residual_fn: ambient params -> (m,) residuals (masked rows must be
-        zeroed by the caller; zero rows are invisible to the normal
-        equations).
-      x0: (ambient_dim,) initial ambient parameters.
-      manifold: parameter-block structure.
-      free_mask: optional (ambient_dim,) bool; False coordinates are frozen
-        (SubsetManifold / SetParameterBlockConstant / gauge fixing).
-      block_ids: optional (m,) int32 robust-loss block id per residual row
-        (the AddResidualBlock granularity). None => single block when
-        huber_delta > 0.
-      num_blocks: static count of robust-loss blocks.
-      lower/upper: optional (ambient_dim,) box bounds, enforced by projection
-        after each retract (SetParameterLowerBound equivalent).
+    Returns (init_state, step, cond): ``lm_core`` runs
+    ``while_loop(cond, step, init_state)``; profiling/tracing callers scan
+    ``step`` instead, carrying the SAME state (x, mu, nu, ...) across
+    iterations so a recorded trajectory is bit-identical to a real solve.
+
+    Args: see ``lm_core``.
     """
     eps = options.epsilon
     huber = options.huber_delta
@@ -215,12 +207,55 @@ def lm_core(
         termination=jnp.asarray(0, jnp.int32),
         grad_max=jnp.asarray(jnp.inf, dtype),
     )
+    return init, step, cond
+
+
+def lm_core(
+    residual_fn: Callable,
+    x0,
+    manifold: ProductManifold,
+    *,
+    options: OptimOptions = OptimOptions(),
+    free_mask=None,
+    block_ids=None,
+    num_blocks: int = 0,
+    lower=None,
+    upper=None,
+) -> LMOutput:
+    """Minimize 0.5 * sum rho(|r|^2) over the manifold.
+
+    Args:
+      residual_fn: ambient params -> (m,) residuals (masked rows must be
+        zeroed by the caller; zero rows are invisible to the normal
+        equations).
+      x0: (ambient_dim,) initial ambient parameters.
+      manifold: parameter-block structure.
+      free_mask: optional (ambient_dim,) bool; False coordinates are frozen
+        (SubsetManifold / SetParameterBlockConstant / gauge fixing).
+      block_ids: optional (m,) int32 robust-loss block id per residual row
+        (the AddResidualBlock granularity). None => single block when
+        huber_delta > 0.
+      num_blocks: static count of robust-loss blocks.
+      lower/upper: optional (ambient_dim,) box bounds, enforced by projection
+        after each retract (SetParameterLowerBound equivalent).
+    """
+    init, step, cond = make_lm_step(
+        residual_fn,
+        x0,
+        manifold,
+        options=options,
+        free_mask=free_mask,
+        block_ids=block_ids,
+        num_blocks=num_blocks,
+        lower=lower,
+        upper=upper,
+    )
     final = jax.lax.while_loop(cond, step, init)
     success = final.termination > 0
     return LMOutput(
         x=final.x,
         cost=final.cost,
-        initial_cost=cost0,
+        initial_cost=init.cost,
         iterations=final.it,
         termination=final.termination,
         success=success,
@@ -294,7 +329,10 @@ def covariance(
     cov = d @ c_t @ d.T
     ok = jnp.all(jnp.isfinite(cov))
     if scale_by_variance:
+        # num_residuals may be a traced scalar (masked/padded problems pass the
+        # *valid* row count, matching ceresutils.h:117-123 where m counts real
+        # residuals — padded rows are zeroed, not observations).
         m = num_residuals if num_residuals is not None else r.shape[0]
-        dof = max(1, int(m) - manifold.ambient_dim)
+        dof = jnp.maximum(1.0, jnp.asarray(m, r.dtype) - manifold.ambient_dim)
         cov = cov * (ssr / dof)
     return cov, ok

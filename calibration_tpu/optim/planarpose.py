@@ -55,7 +55,10 @@ def optimize_planar_pose_device(
 
     xy = _normalized_obs(out.x, obj_xy)
     coeffs, res, _ = dist.fit_distortion_full(xy, img_uv, kmtx, num_radial, mask=mask)
-    m = 2 * n
+    # m counts VALID residual rows only (masked rows are zeroed by the inner
+    # fit, so the ssr is already mask-correct; dividing by 2n would silently
+    # under-report RMS on padded views — ceresutils.h:117-123 semantics).
+    m = 2.0 * jnp.maximum(jnp.sum(jnp.asarray(mask, res.dtype)), 1.0)
     rms = jnp.sqrt(jnp.sum(res * res) / m)
     cov, cov_ok = lm.covariance(
         res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m,

@@ -142,8 +142,12 @@ def optimize_intrinsics_semidlt(
         )
     )
     # the reference scales this covariance by ssr/(m - n)
-    # (intrinsicssemidlt.cpp:166-170)
-    m = int(np.prod(np.asarray(obj_xy).shape[:2])) * 2
+    # (intrinsicssemidlt.cpp:166-170); m counts VALID residual rows — padded
+    # rows are zeroed placeholders, not observations (ceresutils.h:117-123).
+    if mask is not None:
+        m = 2 * int(np.asarray(mask, bool).sum())
+    else:
+        m = int(np.prod(np.asarray(obj_xy).shape[:2])) * 2
     ambient = 5 + 7 * obj_xy.shape[0]
     cov_scaled = np.asarray(cov) * (float(ssr) / max(1, m - ambient))
     core = OptimResult(

@@ -5,5 +5,13 @@ from .batched import (
     homography_batch,
     intrinsics_batch,
     planar_pose_batch,
+    reprojection_rms_batch,
 )
-from .sharding import BATCH_AXIS, batch_sharding, make_mesh, pad_batch, shard_batch
+from .sharding import (
+    BATCH_AXIS,
+    batch_sharding,
+    make_mesh,
+    mesh_devices,
+    pad_batch,
+    shard_batch,
+)

@@ -87,13 +87,16 @@ def intrinsics_batch(
         mask = jnp.ones(obj_xy.shape[:-1], bool)
     mask = jnp.asarray(mask)
 
+    from ..models.registry import get_model
+
+    pc = get_model(model_name).param_count
     seed = jax.vmap(intrinsics_linear.estimate_intrinsics)(obj_xy, img_uv, mask)
     seed_kmtx = seed.kmtx
     if not opts.optimize_skew:
         # frozen skew must start at zero (see facade rationale)
         seed_kmtx = seed_kmtx.at[..., 4].set(0.0)
     init_intr = jnp.concatenate(
-        [seed_kmtx, jnp.zeros(seed_kmtx.shape[:-1] + (5,), obj_xy.dtype)], axis=-1
+        [seed_kmtx, jnp.zeros(seed_kmtx.shape[:-1] + (pc - 5,), obj_xy.dtype)], axis=-1
     )
     args = _maybe_shard(
         (obj_xy, img_uv, mask.astype(obj_xy.dtype), init_intr, seed.c_se3_t), mesh
@@ -122,7 +125,8 @@ def _intrinsics_facade_batch_jit(
         kmtx[:, None, :], seed.homographies
     )
     init_intr = jnp.concatenate(
-        [kmtx, jnp.zeros(kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
+        [kmtx, jnp.zeros(kmtx.shape[:-1] + (model.param_count - 5,), obj.dtype)],
+        axis=-1,
     )
     b, v = obj.shape[0], obj.shape[1]
     init_poses = planarpose.estimate_planar_pose(
@@ -221,6 +225,40 @@ def extrinsics_batch(
         mesh,
     )
     return _extrinsics_batch_jit(*args, opts, model_name, solver)
+
+
+@jax.jit
+def _rms_from_residuals(res, mask_r):
+    cnt = jnp.maximum(jnp.sum(mask_r.astype(res.dtype), axis=-1), 1.0)
+    return jnp.sqrt(jnp.sum(res * res, axis=(-2, -1)) / (2.0 * cnt))
+
+
+def reprojection_rms_batch(c_se3_t, intrs, obj_xy, img_uv, mask=None):
+    """Fleet QA metric: per-view reprojection RMS for B cameras in ONE
+    dispatch through the fused f32 scoring path
+    (ops.pallas_kernels.projection_residuals — native pallas where the
+    backend lowers it, the equivalent XLA fusion otherwise). Pixel-scale RMS
+    needs ~1e-3 px accuracy, far inside f32; the solvers stay f64.
+
+    c_se3_t: (B, V, 4, 4); intrs: (B, 10); obj_xy/img_uv: (B, V, N, 2);
+    mask: (B, V, N). Returns (B, V) float32 RMS in pixels.
+    """
+    obj_xy = jnp.asarray(obj_xy)
+    b, v, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
+    if mask is None:
+        mask = jnp.ones((b, v, n), jnp.float32)
+    from ..ops.pallas_kernels import projection_residuals
+
+    poses = jnp.asarray(c_se3_t)
+    rot = poses[..., :3, :3].reshape(b * v, 3, 3)
+    tra = poses[..., :3, 3].reshape(b * v, 3)
+    intr_rows = jnp.broadcast_to(jnp.asarray(intrs)[:, None, :], (b, v, 10)).reshape(b * v, 10)
+    mask_r = jnp.asarray(mask).reshape(b * v, n)
+    res = projection_residuals(
+        rot, tra, intr_rows,
+        obj_xy.reshape(b * v, n, 2), jnp.asarray(img_uv).reshape(b * v, n, 2), mask_r,
+    )
+    return _rms_from_residuals(res, mask_r).reshape(b, v)
 
 
 @functools.partial(jax.jit, static_argnames=("options", "min_angle_deg"))

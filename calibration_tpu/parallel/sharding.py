@@ -25,6 +25,32 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = BATCH_AXIS) -
     return Mesh(np.array(devices), (axis_name,))
 
 
+def mesh_devices(n_devices: Optional[int] = None):
+    """Pick devices for a problem-batch mesh, preferring the backend that can
+    actually field ``n_devices`` of them.
+
+    Order: (1) the default backend if it has enough devices (a real pod),
+    (2) the host CPU backend (virtual ``--xla_force_host_platform_device_count``
+    mesh used for sharding validation). Asking for the CPU backend explicitly
+    — never relying on platform selection — matters in mixed attachments where
+    the default client is a (possibly version-skewed) TPU tunnel; committing
+    an array through it is what a multi-chip dryrun must never do.
+
+    Returns the device list, or None if no backend has enough devices.
+    """
+    want = n_devices or 1
+    default = jax.devices()
+    if len(default) >= want:
+        return default[:want] if n_devices else default
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if len(cpus) >= want:
+        return cpus[:want] if n_devices else cpus
+    return None
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
     """Shard the leading (problem) axis; replicate everything after it."""
     return NamedSharding(mesh, P(axis_name))
@@ -35,14 +61,25 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
 
     Leaves whose leading dimension is not divisible by the mesh size are
     replicated (callers should pad the batch; see ``pad_batch``).
+
+    Host (numpy) leaves are device_put straight onto the mesh — never
+    committed to the default device first, which would route them through
+    whatever client owns the default platform (on a mixed CPU/TPU attachment
+    that client can be unusable). Device leaves living on a different backend
+    than the mesh hop via the host.
     """
     n = mesh.devices.size
     sharding = batch_sharding(mesh, axis_name)
     repl = NamedSharding(mesh, P())
+    mesh_platform = mesh.devices.flat[0].platform
 
     def place(x):
-        x = jax.numpy.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
+        if isinstance(x, jax.Array):
+            if next(iter(x.devices())).platform != mesh_platform:
+                x = np.asarray(x)
+        else:
+            x = np.asarray(x)
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, sharding)
         return jax.device_put(x, repl)
 

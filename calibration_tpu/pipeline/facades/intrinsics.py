@@ -10,6 +10,7 @@ does not converge.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import sys
 from pathlib import Path
@@ -18,7 +19,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ...io import jsonio
-from ...models import CalibrationBounds, pinhole
+from ...models import CalibrationBounds
+from ...models.registry import get_model
 from ...ops import intrinsics_linear, planarpose, ransac as ransac_mod
 from ...optim import IntrinsicsOptimOptions, IntrinsicsOptimizationResult, optimize_intrinsics
 from ..dataset import PlanarDetections
@@ -105,10 +107,24 @@ class IntrinsicCalibrationOutputs:
     min_corner_threshold: int = 0
     invalid_k_warnings: int = 0
     pose_warnings: int = 0
+    # per-view linear-stage homography diagnostics, mirroring the reference's
+    # IntrinsicsEstimateResult per-view HomographyResult payload
+    # (include/calib/estimation/linear/intrinsics.h:26-75): the DLT/RANSAC
+    # homography, its symmetric transfer RMS, validity, and the inlier mask
+    # actually used downstream (post RANSAC pre-filter when enabled).
+    view_homographies: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3, 3))
+    )
+    view_h_rms: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    view_h_ok: List[bool] = dataclasses.field(default_factory=list)
+    view_inlier_masks: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0), bool)
+    )
+    view_inlier_counts: List[int] = dataclasses.field(default_factory=list)
 
     @property
     def camera(self) -> np.ndarray:
-        """Refined flat pinhole intrinsics (10,)."""
+        """Refined flat intrinsics (model packing; pinhole = 10)."""
         return self.refine_result.camera
 
 
@@ -156,6 +172,31 @@ class _PreparedProblem:
     active: List[ActiveView]
 
 
+def _ransac_prefilter(obj, uv, mask, ropts: ransac_mod.RansacOptions):
+    """All views' RANSAC homography pre-filters in ONE jitted vmap dispatch
+    (the TPU-native shape of facades/intrinsics pre-filtering — the reference
+    runs ransac<HomographyEstimator> once per view, serially).
+
+    obj/uv: (V, N, 2); mask: (V, N). Returns the updated point mask: a view's
+    inliers when its RANSAC succeeded, its original mask otherwise (identical
+    semantics to the per-view loop).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("opts",))
+    def run(obj, uv, mask, opts):
+        fn = lambda o, u, m: ransac_mod.ransac_homography(o, u, opts, mask=m)
+        rr = jax.vmap(fn)(obj, uv, mask)
+        keep = jnp.where(rr.success[:, None], rr.inlier_mask, mask)
+        return keep, rr.success, rr.inlier_count, rr.inlier_rms
+
+    keep, success, counts, rms = run(
+        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(mask, bool), ropts
+    )
+    return np.asarray(keep), np.asarray(success), np.asarray(counts), np.asarray(rms)
+
+
 class PlanarIntrinsicCalibrationFacade:
     """facades/intrinsics.cpp:80-151."""
 
@@ -196,17 +237,10 @@ class PlanarIntrinsicCalibrationFacade:
         if bounds is None and cam_cfg.image_size is not None:
             bounds = bounds_from_image_size(cam_cfg.image_size)
 
-        # optional RANSAC pre-filter per view (homography_ransac option)
+        # optional RANSAC pre-filter: all views in one vmapped dispatch
         if cfg.options.estim_options.homography_ransac is not None:
             ropts = cfg.options.estim_options.homography_ransac.to_options()
-            new_mask = np.asarray(mask).copy()
-            for v in range(obj.shape[0]):
-                rr = ransac_mod.ransac_homography(
-                    jnp.asarray(obj[v]), jnp.asarray(uv[v]), ropts, mask=jnp.asarray(mask[v])
-                )
-                if bool(rr.success):
-                    new_mask[v] = np.asarray(rr.inlier_mask)
-            mask = new_mask
+            mask, _, _, _ = _ransac_prefilter(obj, uv, mask, ropts)
 
         return _PreparedProblem(
             out=out, obj=obj, uv=uv, mask=np.asarray(mask),
@@ -221,6 +255,7 @@ class PlanarIntrinsicCalibrationFacade:
     ) -> IntrinsicCalibrationOutputs:
         import jax.numpy as jnp
 
+        model = get_model(cam_cfg.model)
         p = self._prepare(cfg, cam_cfg, detections)
         out, obj, uv, active = p.out, p.obj, p.uv, p.active
         view_valid, bounds, v_real = p.view_valid, p.bounds, p.v_real
@@ -240,6 +275,13 @@ class PlanarIntrinsicCalibrationFacade:
 
         out.linear_kmtx = np.asarray(linear.kmtx)
         out.linear_view_indices = [int(i) for i in np.where(np.asarray(linear.h_ok))[0]]
+        # per-view homography diagnostics (IntrinsicsEstimateResult parity,
+        # estimation/linear/intrinsics.h:26-75)
+        out.view_homographies = np.asarray(linear.homographies)[:v_real]
+        out.view_h_rms = np.asarray(linear.view_rms)[:v_real]
+        out.view_h_ok = [bool(b) for b in np.asarray(linear.h_ok)[:v_real]]
+        out.view_inlier_masks = np.asarray(p.mask, bool)[:v_real]
+        out.view_inlier_counts = [int(c) for c in out.view_inlier_masks.sum(axis=-1)]
 
         kmtx_init = linear.kmtx
         if not cfg.options.estim_options.use_skew and not cfg.options.optim_options.optimize_skew:
@@ -247,7 +289,12 @@ class PlanarIntrinsicCalibrationFacade:
             # spurious Zhang skew would be locked-in model error that biases
             # fx/fy, so pin it to zero when nobody asked for skew
             kmtx_init = kmtx_init.at[4].set(0.0)
-        init_intr = pinhole.pack(kmtx_init, jnp.zeros(5))
+        # model-generic packing: [kmtx(5), zeros(rest)] — distortion (and any
+        # extra model params, e.g. Scheimpflug tilts) start at zero, matching
+        # the reference's zero-init refine (facades/intrinsics.cpp:122-128)
+        init_intr = jnp.concatenate(
+            [kmtx_init, jnp.zeros((model.param_count - 5,), kmtx_init.dtype)]
+        )
         if cfg.options.refine:
             init_poses = np.array(
                 planarpose.estimate_planar_pose(
@@ -261,7 +308,7 @@ class PlanarIntrinsicCalibrationFacade:
             init_poses[~view_valid] = safe
             init_poses[~np.isfinite(init_poses).all(axis=(1, 2))] = safe
             refine = optimize_intrinsics(
-                obj, uv, init_intr, init_poses, mask=view_mask,
+                obj, uv, init_intr, init_poses, mask=view_mask, model=model,
                 opts=cfg.options.optim_options, view_valid=jnp.asarray(view_valid),
             )
             # trim bucketing padding from per-view outputs
@@ -334,9 +381,10 @@ class PlanarIntrinsicCalibrationFacade:
         for i, p in enumerate(prepared):
             if p is None:
                 continue
-            groups.setdefault((p.obj.shape, p.bounds), []).append(i)
+            groups.setdefault((p.obj.shape, p.bounds, jobs[i][0].model), []).append(i)
 
-        for (_, bounds), idxs in groups.items():
+        for (_, bounds, model_name), idxs in groups.items():
+            model = get_model(model_name)
             obj_b = np.stack([prepared[i].obj for i in idxs])
             uv_b = np.stack([prepared[i].uv for i in idxs])
             mask_b = np.stack([prepared[i].mask for i in idxs])
@@ -344,6 +392,7 @@ class PlanarIntrinsicCalibrationFacade:
             seed, pose_ok, refine_out = intrinsics_facade_batch(
                 obj_b, uv_b, mask=mask_b, view_valid=vv_b,
                 opts=cfg.options.optim_options, bounds=bounds, zero_skew=zero_skew,
+                model_name=model.name,
             )
             lm_out, intr_b, poses_b, view_err_b, cov_b, cov_ok_b = refine_out
             kmtx_b = np.asarray(seed.kmtx)
@@ -362,6 +411,13 @@ class PlanarIntrinsicCalibrationFacade:
                     continue
                 out.linear_kmtx = kmtx_b[j]
                 out.linear_view_indices = [int(v) for v in np.where(h_ok_b[j])[0]]
+                out.view_homographies = np.asarray(seed.homographies)[j][: p.v_real]
+                out.view_h_rms = np.asarray(seed.view_rms)[j][: p.v_real]
+                out.view_h_ok = [bool(b) for b in h_ok_b[j][: p.v_real]]
+                out.view_inlier_masks = np.asarray(p.mask, bool)[: p.v_real]
+                out.view_inlier_counts = [
+                    int(c) for c in out.view_inlier_masks.sum(axis=-1)
+                ]
 
                 core = OptimResult(
                     success=bool(lm_out.success[j]),
@@ -393,8 +449,8 @@ class PlanarIntrinsicCalibrationFacade:
                     kmtx_init = kmtx_b[j].copy()
                     if zero_skew:
                         kmtx_init[4] = 0.0
-                    refine.camera = np.asarray(
-                        pinhole.pack(jnp.asarray(kmtx_init), jnp.zeros(5))
+                    refine.camera = np.concatenate(
+                        [kmtx_init, np.zeros(model.param_count - 5)]
                     )
                 out.refine_result = refine
                 out.active_views = p.active

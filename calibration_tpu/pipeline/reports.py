@@ -46,11 +46,27 @@ def build_camera_report(
 ) -> Dict[str, Any]:
     refined = outputs.refine_result
     counts = [v.corner_count for v in outputs.active_views]
+
+    def _homography_diag(i):
+        """Per-view linear-stage diagnostics (reference carries the full
+        HomographyResult into results, estimation/linear/intrinsics.h:26-75)."""
+        if i >= len(outputs.view_h_ok):
+            return None
+        diag = {
+            "ok": outputs.view_h_ok[i],
+            "symmetric_rms_px": float(outputs.view_h_rms[i]),
+        }
+        if i < len(outputs.view_inlier_counts):
+            diag["inlier_count"] = outputs.view_inlier_counts[i]
+            diag["inliers"] = [bool(b) for b in outputs.view_inlier_masks[i]]
+        return diag
+
     per_view = [
         {
             "source_image": v.source_image,
             "corner_count": v.corner_count,
             "rms_px": float(refined.view_errors[i]) if i < len(refined.view_errors) else None,
+            "homography": _homography_diag(i),
         }
         for i, v in enumerate(outputs.active_views)
     ]
@@ -78,7 +94,14 @@ def build_camera_report(
                 "cy": float(cam[3]),
                 "skew": float(cam[4]),
             },
-            "distortion": {"coeffs": [float(x) for x in cam[5:]]},
+            "distortion": {"coeffs": [float(x) for x in cam[5:10]]},
+            # extra model params beyond the 10-param pinhole packing
+            # (Scheimpflug tilt angles; CameraTraits order, scheimpflug.h:236-242)
+            **(
+                {"tilt": {"tau_x": float(cam[10]), "tau_y": float(cam[11])}}
+                if cam.size >= 12
+                else {}
+            ),
         },
         "warnings": {
             "invalid_k": outputs.invalid_k_warnings,

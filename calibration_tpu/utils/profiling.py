@@ -38,12 +38,20 @@ class Timer:
 
 
 def lm_cost_trace(residual_fn, x0, manifold, *, options=None, **lm_kwargs):
-    """Run LM for a fixed iteration budget recording the cost after every
-    iteration — the per-iteration trace the reference lacks (it only stores
-    Ceres' final BriefReport, src/estimation/detail/ceresutils.h:41).
+    """Run LM recording the cost after every iteration — the per-iteration
+    trace the reference lacks (it only stores Ceres' final BriefReport,
+    src/estimation/detail/ceresutils.h:41).
 
-    Returns (LMOutput, costs (max_iterations,)). Implemented as a lax.scan of
-    single LM steps so the trace is device-resident and jit-friendly.
+    Scans the SAME ``LMState -> LMState`` step ``lm_core`` runs under
+    ``while_loop`` — (x, mu, nu, termination) carry across iterations — so the
+    recorded trajectory and the returned LMOutput are exactly what a plain
+    ``lm_core`` call with the same options produces (asserted by
+    tests/test_lm_solvers.py::test_lm_cost_trace_matches_core). After
+    termination the state is frozen, so the tail of ``costs`` is flat at the
+    final cost.
+
+    Returns (LMOutput, costs (max_iterations,)); device-resident and
+    jit-friendly.
     """
     import jax
     import jax.numpy as jnp
@@ -52,30 +60,26 @@ def lm_cost_trace(residual_fn, x0, manifold, *, options=None, **lm_kwargs):
     from ..optim.core import OptimOptions
 
     options = options or OptimOptions()
+    init, step, _cond = lm_mod.make_lm_step(
+        residual_fn, jnp.asarray(x0), manifold, options=options, **lm_kwargs
+    )
 
-    def one_iter_opts(_):
-        return OptimOptions(
-            optimizer=options.optimizer,
-            huber_delta=options.huber_delta,
-            epsilon=options.epsilon,
-            max_iterations=1,
-            compute_covariance=False,
-            verbose=False,
+    def scan_step(state, _):
+        nxt = step(state)
+        # freeze once terminated (while_loop's cond), keeping the scan length
+        # static without perturbing the trajectory
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(state.done, a, b), state, nxt
         )
+        return out, out.cost
 
-    opts1 = one_iter_opts(None)
-
-    def step(x, _):
-        out = lm_mod.lm_core(residual_fn, x, manifold, options=opts1, **lm_kwargs)
-        return out.x, out.cost
-
-    x_final, costs = jax.lax.scan(step, jnp.asarray(x0), None, length=options.max_iterations)
-    out = lm_mod.lm_core(
-        residual_fn, x_final, manifold,
-        options=OptimOptions(
-            optimizer=options.optimizer, huber_delta=options.huber_delta,
-            epsilon=options.epsilon, max_iterations=1, compute_covariance=False,
-        ),
-        **lm_kwargs,
+    final, costs = jax.lax.scan(scan_step, init, None, length=options.max_iterations)
+    out = lm_mod.LMOutput(
+        x=final.x,
+        cost=final.cost,
+        initial_cost=init.cost,
+        iterations=final.it,
+        termination=final.termination,
+        success=final.termination > 0,
     )
     return out, costs

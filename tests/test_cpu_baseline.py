@@ -1,0 +1,136 @@
+"""Correctness of the Ceres-class CPU baselines (benchmarks/cpu_baseline.py):
+the analytic Jacobians must match finite differences, and every solver must
+recover ground truth on noiseless synthetic problems — otherwise the
+vs_baseline multiplier in bench.py is against a broken stand-in."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import synth
+from benchmarks import cpu_baseline as cb
+
+
+def _finite_diff(fun, x0, eps=1e-7):
+    r0 = fun(x0)
+    J = np.zeros((r0.size, x0.size))
+    for i in range(x0.size):
+        xp = x0.copy()
+        xp[i] += eps
+        xm = x0.copy()
+        xm[i] -= eps
+        J[:, i] = (fun(xp) - fun(xm)) / (2 * eps)
+    return J
+
+
+def _intrinsics_problem(noise=0.0, v=5):
+    rng = np.random.default_rng(5)
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.04)
+    poses = synth.circle_views(v)
+    uv = synth.render_pixels(intr, poses, obj, noise=noise, rng=rng if noise else None)
+    obj_b = np.tile(obj[None], (v, 1, 1))
+    return intr, obj_b, uv, poses
+
+
+def test_intrinsics_analytic_jacobian_matches_fd():
+    intr, obj, uv, poses = _intrinsics_problem()
+    x0 = cb.intrinsics_x0(intr * (1 + 0.01), poses)
+    x0[10:] += 0.003  # off the solution so the Jacobian is generic
+
+    fun = lambda x: cb.intrinsics_residual_jac(x, obj, uv, with_jac=False)[0]
+    _, J = cb.intrinsics_residual_jac(x0, obj, uv)
+    J_fd = _finite_diff(fun, x0)
+    scale = np.maximum(1.0, np.abs(J_fd))
+    np.testing.assert_allclose(J / scale, J_fd / scale, atol=5e-7)
+
+
+def test_homography_analytic_jacobian_matches_fd():
+    rng = np.random.default_rng(9)
+    h = np.array([[1.1, 0.05, 20.0], [-0.02, 0.97, -8.0], [5e-5, -1e-4, 1.0]])
+    src = rng.uniform(-2, 2, (15, 2))
+    ph = np.concatenate([src, np.ones((15, 1))], -1) @ h.T
+    dst = ph[:, :2] / ph[:, 2:]
+    x0 = (h.reshape(9)[:8]) * (1 + 0.01)
+
+    fun = lambda x: cb.homography_residual_jac(x, src, dst, with_jac=False)[0]
+    _, J = cb.homography_residual_jac(x0, src, dst)
+    J_fd = _finite_diff(fun, x0)
+    scale = np.maximum(1.0, np.abs(J_fd))
+    np.testing.assert_allclose(J / scale, J_fd / scale, atol=5e-7)
+
+
+def test_solve_intrinsics_cpu_recovers_gt():
+    intr, obj, uv, poses = _intrinsics_problem()
+    x0 = cb.intrinsics_x0(
+        intr + np.array([8.0, -6.0, 4.0, -3.0, 0, 0.02, 0, 0, 0, 0]), poses
+    )
+    res = cb.solve_intrinsics_cpu(obj, uv, x0)
+    assert res.success
+    np.testing.assert_allclose(res.x[:4], intr[:4], atol=1e-6)
+
+
+def test_solve_homography_cpu_recovers_gt():
+    rng = np.random.default_rng(10)
+    h = np.array([[1.1, 0.05, 20.0], [-0.02, 0.97, -8.0], [5e-5, -1e-4, 1.0]])
+    src = rng.uniform(-2, 2, (30, 2))
+    ph = np.concatenate([src, np.ones((30, 1))], -1) @ h.T
+    dst = ph[:, :2] / ph[:, 2:]
+    h0 = h * 1.001
+    res, hm = cb.solve_homography_cpu(src, dst, h0)
+    np.testing.assert_allclose(hm, h, atol=1e-9)
+
+
+def test_solve_extrinsics_cpu_recovers_gt():
+    pytest.importorskip("torch")  # torch-autodiff baselines; CI may lack torch
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(4, 6, 0.05)
+    rel = synth.euler_pose(0.02, -0.35, 0.01, [-0.22, 0.01, 0.015])
+    r_se3_t = synth.circle_views(4, dist=1.0)
+    n = obj.shape[0]
+    uv = np.zeros((4, 2, n, 2))
+    for v in range(4):
+        for ci, cpose in enumerate([r_se3_t[v], rel @ r_se3_t[v]]):
+            uv[v, ci] = synth.render_pixels(intr, cpose[None], obj)[0]
+    obj_b = np.tile(obj[None, None], (4, 2, 1, 1))
+    c0 = np.stack([np.eye(4), rel @ synth.euler_pose(0.004, -0.003, 0.002, [0.002, -0.001, 0.001])])
+    res = cb.solve_extrinsics_cpu(
+        obj_b, uv, np.tile(intr[None], (2, 1)), c0, r_se3_t
+    )
+    assert res.success
+    w_rel, t_rel = cb.pose_to_w_t(rel)
+    np.testing.assert_allclose(res.x[:3], w_rel, atol=1e-7)
+    np.testing.assert_allclose(res.x[3:6], t_rel, atol=1e-7)
+
+
+def test_solve_handeye_cpu_recovers_gt():
+    pytest.importorskip("torch")  # torch-autodiff baselines; CI may lack torch
+    sim = synth.make_handeye_sequence(num_poses=10)
+    g_gt = sim["g_se3_c"]
+    g0 = g_gt @ synth.euler_pose(0.01, -0.008, 0.012, [0.004, -0.003, 0.002])
+    res, m = cb.solve_handeye_cpu(np.asarray(sim["b_se3_g"]), np.asarray(sim["c_se3_t"]), g0)
+    assert res.success
+    assert synth.rot_err_deg(m, g_gt) < 1e-6
+    assert synth.trans_err(m, g_gt) < 1e-8
+
+
+def test_solve_bundle_cpu_recovers_gt():
+    pytest.importorskip("torch")  # torch-autodiff baselines; CI may lack torch
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    sim = synth.make_handeye_sequence(num_poses=10)
+    uv = synth.render_pixels(intr, np.asarray(sim["c_se3_t"]), obj)
+    obj_b = np.tile(obj[None], (10, 1, 1))
+    g0 = sim["g_se3_c"] @ synth.euler_pose(0.008, -0.006, 0.01, [0.003, -0.002, 0.004])
+    b0 = sim["b_se3_t"] @ synth.euler_pose(-0.005, 0.007, -0.004, [0.002, 0.003, -0.002])
+    res = cb.solve_bundle_cpu(obj_b, uv, np.asarray(sim["b_se3_g"]), intr, g0, b0)
+    assert res.success
+    m = np.eye(4)
+    m[:3, :3] = cb.so3_exp(res.x[:3])
+    m[:3, 3] = res.x[3:6]
+    assert synth.rot_err_deg(m, sim["g_se3_c"]) < 1e-5
+    assert synth.trans_err(m, sim["g_se3_c"]) < 1e-7

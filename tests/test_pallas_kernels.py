@@ -99,3 +99,33 @@ def test_pallas_multi_tile_shapes():
         )
     )
     np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_reprojection_rms_batch_matches_f64():
+    """The fleet QA scorer (parallel.reprojection_rms_batch — the consumer of
+    the fused f32 path) must agree with exact f64 math to px-metric
+    precision."""
+    from calibration_tpu.parallel import reprojection_rms_batch
+
+    rot, tra, intr, obj, uv, mask = _problem(r=12, n=37, seed=4)
+    b, v = 4, 3
+    poses = np.tile(np.eye(4)[None], (12, 1, 1))
+    poses[:, :3, :3] = rot
+    poses[:, :3, 3] = tra
+    # one camera per group of 3 views
+    intr_b = intr.reshape(b, v, 10)[:, 0]
+    rms = np.asarray(
+        reprojection_rms_batch(
+            poses.reshape(b, v, 4, 4), intr_b,
+            obj.reshape(b, v, -1, 2), uv.reshape(b, v, -1, 2),
+            mask.reshape(b, v, -1),
+        )
+    )
+    # f64 oracle uses per-view intrinsics = camera intrinsics
+    intr_rows = np.repeat(intr_b, v, axis=0)
+    res = _numpy_oracle(rot, tra, intr_rows, obj, uv, mask)
+    cnt = np.maximum(mask.sum(-1), 1)
+    ref = np.sqrt((res**2).sum((-2, -1)) / (2.0 * cnt)).reshape(b, v)
+    # uv spans ~640px so residuals are O(100px); f32 + this backend's
+    # reduced-precision small-f32-array quirk give ~1e-3 relative
+    np.testing.assert_allclose(rms, ref, rtol=2e-3)

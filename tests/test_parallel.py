@@ -1,17 +1,28 @@
 """Mesh-sharded batched solver tests on the 8-device virtual CPU mesh
-(the multi-chip path: data parallelism over calibration problems)."""
+(the multi-chip path: data parallelism over calibration problems).
+
+Even when a TPU plugin owns the *default* platform (so JAX_PLATFORMS=cpu is
+ignored), the explicit CPU backend still exists and honours
+--xla_force_host_platform_device_count — ``jax.devices("cpu")`` yields the
+8-device mesh. All meshes here are built from that backend explicitly, so the
+suite runs both locally (TPU-default attachment) and in CI (CPU-only)."""
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-# In this dev environment JAX_PLATFORMS=cpu is ignored (the axon TPU plugin
-# owns the platform) so the 8-device virtual CPU mesh never materialises;
-# the driver exercises the multi-chip path separately via
-# __graft_entry__.dryrun_multichip on a real CPU backend.
+
+def _mesh_cpus():
+    try:
+        return jax.devices("cpu")
+    except RuntimeError:
+        return []
+
+
 pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs an 8-device mesh (virtual CPU or pod)"
+    len(_mesh_cpus()) < 8,
+    reason="needs an 8-device CPU mesh (--xla_force_host_platform_device_count=8)",
 )
 
 import synth
@@ -33,7 +44,7 @@ def _homography_problems(b, n=24, seed=0):
 
 def test_homography_batch_sharded():
     hs, src, dst = _homography_problems(8)
-    mesh = sh.make_mesh()
+    mesh = sh.make_mesh(_mesh_cpus()[:8])
     out, hm, cov, cov_ok = batched.homography_batch(
         src, dst, options=OptimOptions(max_iterations=50, compute_covariance=False), mesh=mesh
     )
@@ -69,7 +80,7 @@ def test_extrinsics_batch_sharded():
 
     from calibration_tpu.optim import ExtrinsicOptions
 
-    mesh = sh.make_mesh()
+    mesh = sh.make_mesh(_mesh_cpus()[:8])
     out, intr_est, c_se3_r, rt, cov, cov_ok = batched.extrinsics_batch(
         obj_b, uv_b, cams0, c0, r0,
         opts=ExtrinsicOptions(core=OptimOptions(max_iterations=40, compute_covariance=False)),
@@ -92,7 +103,7 @@ def test_intrinsics_batch_sharded():
 
     from calibration_tpu.optim import IntrinsicsOptimOptions
 
-    mesh = sh.make_mesh()
+    mesh = sh.make_mesh(_mesh_cpus()[:8])
     seed, out = batched.intrinsics_batch(
         obj_b, uv_b,
         opts=IntrinsicsOptimOptions(core=OptimOptions(max_iterations=40, compute_covariance=False)),
