@@ -87,6 +87,7 @@ def tpu_throughput(obj, uv, repeats=3):
         core=OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
     )
     precision = os.environ.get("BENCH_PRECISION", "f64")
+    analytic = os.environ.get("BENCH_ANALYTIC", "1") != "0"
 
     @jax.jit
     def solve(obj, uv):
@@ -97,7 +98,8 @@ def tpu_throughput(obj, uv, repeats=3):
             [seed_kmtx, jnp.zeros(seed_kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
         )
         fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
-            o, u, i0, p0, mask=m, opts=opts, precision=precision
+            o, u, i0, p0, mask=m, opts=opts, precision=precision,
+            analytic_jac=analytic,
         )
         out, intr, poses, view_errors, cov, cov_ok = jax.vmap(fn)(obj, uv, mask, intr0, seed.c_se3_t)
         return intr, out.cost, view_errors, cov
@@ -150,12 +152,42 @@ def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
     return b / dt
 
 
+def lm_trace_diagnostic(obj, uv, poses, intr_gt):
+    """BENCH_TRACE=1: per-iteration LM cost curve of bench problem 0 via
+    utils.profiling.lm_cost_trace (scans the exact lm_core step, so the
+    curve is the real trajectory)."""
+    import jax.numpy as jnp
+
+    from calibration_tpu.optim import OptimOptions
+    from calibration_tpu.optim import intrinsics as oi
+    from calibration_tpu.optim.blocks import pack_intr_quats_trans, poses_to_quat_tran
+    from calibration_tpu.utils.profiling import lm_cost_trace
+
+    v = obj.shape[1]
+    intr0 = jnp.asarray(np.concatenate([intr_gt[:5] + [4, -3, 2, -1, 0], np.zeros(5)]))
+    quats, trans = poses_to_quat_tran(jnp.asarray(poses[0]))
+    x0 = pack_intr_quats_trans(intr0, quats, trans)
+    manifold = oi.make_manifold(10, v)
+    mask = jnp.ones(obj.shape[1:-1])
+    res = lambda x: oi._residual_flat(
+        oi.PINHOLE, x, jnp.asarray(obj[0]), jnp.asarray(uv[0]), mask, 10, v
+    )
+    out, costs = lm_cost_trace(res, x0, manifold, options=OptimOptions(max_iterations=15))
+    print(
+        "[bench] LM cost trace (problem 0): "
+        + " ".join(f"{c:.4g}" for c in np.asarray(costs)),
+        file=sys.stderr,
+    )
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     import jax
 
     print(f"[bench] backend: {jax.default_backend()}, devices: {jax.devices()}", file=sys.stderr)
     obj, uv, poses, intr_gt = make_problems(batch)
+    if os.environ.get("BENCH_TRACE"):
+        lm_trace_diagnostic(obj, uv, poses, intr_gt)
     throughput, rms, intr = tpu_throughput(obj, uv)
 
     cpu = cpu_baseline_throughput(obj, uv, poses, intr_gt)

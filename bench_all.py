@@ -244,19 +244,57 @@ def bench_bundle():
     }
 
 
+def bench_linescan():
+    from calibration_tpu.parallel import batched
+
+    b = int(os.environ.get("BENCH_LINESCAN_BATCH", "1024"))
+    n_cpu = 32
+    _log(f"[5L line-scan] batch={b}")
+    camera, obj, tgt_uv, laser_uv, plane_gt = pb.linescan_problems(b)
+
+    fn = lambda c, o, tu, lu: batched.linescan_batch(c, o, tu, lu)
+    res, dt = timed_batch(fn, (camera, obj, tgt_uv, laser_uv), perturb_idx=3)
+    plane = np.asarray(res.plane)
+
+    cpu_res, cpu_dt = timed_cpu(
+        lambda i: cb.solve_linescan_cpu(camera[i], obj[i], tgt_uv[i], laser_uv[i])[0],
+        n_cpu,
+    )
+    # parity: TPU and CPU run the same closed-form pipeline on the same rigs
+    # (plane sign is canonicalized d >= 0; the SVD null vector's sign is
+    # arbitrary)
+    canon = lambda p: p if p[3] >= 0 else -p
+    parity = max(
+        float(np.abs(canon(plane[i]) - canon(cpu_res[i])).max()) for i in range(n_cpu)
+    )
+    ang_err = np.degrees(
+        np.arccos(np.clip(np.abs(np.sum(plane[:, :3] * plane_gt[:, :3], -1)), 0, 1))
+    )
+    return {
+        "metric": "linescan_laser_plane_solves_per_sec",
+        "value": round(b / dt, 1),
+        "unit": "rigs/sec",
+        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
+        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
+        "parity_max_abs_dplane": parity,
+        "gt_plane_angle_err_deg_max": float(ang_err.max()),
+    }
+
+
 CONFIGS = {
     "1": bench_homography,
     "2": bench_intrinsics,
     "3": bench_extrinsics,
     "4": bench_handeye,
     "5": bench_bundle,
+    "5L": bench_linescan,
 }
 
 
 def main():
     import jax
 
-    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")
+    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,5L").split(",")
     _log(f"[bench_all] backend: {jax.default_backend()}, devices: {jax.devices()}")
     results = []
     for key in which:

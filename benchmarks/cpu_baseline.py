@@ -455,3 +455,97 @@ def solve_bundle_cpu(obj, uv, b_se3_g, intr, g0, b0, **tol):
     return least_squares(tr.fun, np.concatenate([wX, tX, wT, tT]), jac=tr.jac,
                          method="trf", xtol=tol.get("xtol", 1e-9),
                          ftol=tol.get("ftol", 1e-9), gtol=tol.get("gtol", 1e-9))
+
+
+# ---------------------------------------------------------------------------
+# Config 5 (line-scan part): laser-plane calibration — sequential numpy
+# implementation of the reference's closed-form Eigen pipeline
+# (include/calib/estimation/linear/linescan.h:101-146): per view unproject
+# through distortion, homography DLT, pose decomposition, lift laser pixels
+# to the target plane, aggregate, SVD plane fit.
+# ---------------------------------------------------------------------------
+
+def undistort_np(xy, k, iters=5):
+    """Fixed-point inverse of the Brown-Conrady model (distortion.h:119-134)."""
+    und = np.array(xy, float)
+    for _ in range(iters):
+        xd, yd, _, _ = distort_with_jac(und[..., 0], und[..., 1], k)
+        und = und + (xy - np.stack([xd, yd], -1))
+    return und
+
+
+def unproject_np(intr, uv):
+    fx, fy, cx, cy, sk = intr[:5]
+    y = (uv[..., 1] - cy) / fy
+    x = (uv[..., 0] - cx - sk * y) / fx
+    return undistort_np(np.stack([x, y], -1), intr[5:])
+
+
+def _hartley_np(pts):
+    c = pts.mean(0)
+    d = np.sqrt(((pts - c) ** 2).sum(-1)).mean()
+    s = np.sqrt(2.0) / max(d, 1e-15)
+    t = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+    return (pts - c) * s, t
+
+
+def homography_dlt_np(src, dst):
+    """Hartley-normalized DLT (homographyestimator.cpp:45-81)."""
+    sn, ts = _hartley_np(src)
+    dn, td = _hartley_np(dst)
+    n = src.shape[0]
+    a = np.zeros((2 * n, 9))
+    x, y = sn[:, 0], sn[:, 1]
+    u, v = dn[:, 0], dn[:, 1]
+    a[0::2, 0], a[0::2, 1], a[0::2, 2] = x, y, 1.0
+    a[0::2, 6], a[0::2, 7], a[0::2, 8] = -u * x, -u * y, -u
+    a[1::2, 3], a[1::2, 4], a[1::2, 5] = x, y, 1.0
+    a[1::2, 6], a[1::2, 7], a[1::2, 8] = -v * x, -v * y, -v
+    _, _, vt = np.linalg.svd(a)
+    h = np.linalg.inv(td) @ vt[-1].reshape(3, 3) @ ts
+    return h / h[2, 2]
+
+
+def pose_from_h_normalized_np(h):
+    """planarpose_linear.cpp:17-52 with the sign fix applied pre-cross."""
+    if h[2, 2] < 0:
+        h = -h
+    s = np.sqrt(np.linalg.norm(h[:, 0]) * np.linalg.norm(h[:, 1]))
+    r1, r2 = h[:, 0] / s, h[:, 1] / s
+    r_init = np.stack([r1, r2, np.cross(r1, r2)], -1)
+    u, _, vt = np.linalg.svd(r_init)
+    rot = u @ vt
+    if np.linalg.det(rot) < 0:
+        vt = vt.copy()
+        vt[2] *= -1
+        rot = u @ vt
+    m = np.eye(4)
+    m[:3, :3] = rot
+    m[:3, 3] = h[:, 2] / s
+    return m
+
+
+def solve_linescan_cpu(camera, obj, tgt_uv, laser_uv):
+    """One rig: (V, N, 2)/(V, N, 2)/(V, L, 2) -> (plane (4,), rms)."""
+    pts = []
+    for v in range(obj.shape[0]):
+        tgt_norm = unproject_np(camera, tgt_uv[v])
+        laser_norm = unproject_np(camera, laser_uv[v])
+        h = homography_dlt_np(obj[v], tgt_norm)
+        pose_m = pose_from_h_normalized_np(h)
+        hinv = np.linalg.inv(h)
+        hinv = hinv / hinv[2, 2]
+        ph = np.concatenate([laser_norm, np.ones((laser_norm.shape[0], 1))], -1)
+        q = ph @ hinv.T
+        plane_xy = q[:, :2] / q[:, 2:3]
+        obj_pts = np.concatenate([plane_xy, np.zeros((plane_xy.shape[0], 1))], -1)
+        pts.append(obj_pts @ pose_m[:3, :3].T + pose_m[:3, 3])
+    pts = np.concatenate(pts)
+    centroid = pts.mean(0)
+    _, _, vt = np.linalg.svd(pts - centroid)
+    n = vt[-1]
+    d = -n @ centroid
+    if d < 0:
+        n, d = -n, -d
+    dist = pts @ n + d
+    return np.concatenate([n, [d]]), float(np.sqrt((dist**2).mean()))

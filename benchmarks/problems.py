@@ -159,3 +159,46 @@ def bundle_problems(batch, num_obs=20, rows=8, cols=11, noise=0.2, seed=19):
         g0=np.stack(out["g0"]),
         b0=np.stack(out["b0"]),
     )
+
+
+# --- config 5 (line-scan part): laser plane ---------------------------------
+
+def linescan_problems(batch, views=6, rows=5, cols=7, n_laser=40, noise=0.1, seed=23):
+    """Batch of line-scan rigs: camera + laser plane rigidly mounted, moving
+    planar target. GT plane is in the camera frame; laser pixels are the
+    projected intersection of the laser plane with each view's target plane
+    (the geometry of linescan.h:63-91 run forward).
+
+    Returns (camera (B, 10), obj (B, V, N, 2), tgt_uv (B, V, N, 2),
+    laser_uv (B, V, L, 2), plane_gt (B, 4))."""
+    rng = np.random.default_rng(seed)
+    obj = grid(rows, cols, 0.03)
+    intr = np.array([600.0, 610.0, 320.0, 240.0, 0.0, -0.12, 0.04, 0.0, 1e-4, -1e-4])
+    theta = 0.25
+    n_pl = np.array([0.0, np.sin(theta), -np.cos(theta)])
+
+    objs = np.tile(obj[None, None], (batch, views, 1, 1))
+    tgt_uv = np.zeros((batch, views, obj.shape[0], 2))
+    laser_uv = np.zeros((batch, views, n_laser, 2))
+    planes = np.zeros((batch, 4))
+    for b in range(batch):
+        dist = 0.85 + 0.02 * np.sin(0.7 * b)
+        poses = circle_views(views, tilt=0.25, dist=dist, phase=0.03 * b)
+        d_pl = -n_pl @ np.array([0.0, 0.0, dist])
+        # plane stored with d >= 0 like the SVD fit's convention
+        sgn = 1.0 if d_pl >= 0 else -1.0
+        planes[b] = np.concatenate([sgn * n_pl, [sgn * d_pl]])
+        tgt_uv[b] = render(intr, poses, obj, noise, rng)
+        s = np.linspace(-0.1, 0.1, n_laser)
+        for v in range(views):
+            rot, t = poses[v, :3, :3], poses[v, :3, 3]
+            ab = rot.T @ n_pl
+            c = n_pl @ t + d_pl
+            a2 = ab[0] ** 2 + ab[1] ** 2
+            p0 = -c * ab[:2] / a2
+            dvec = np.array([-ab[1], ab[0]]) / np.sqrt(a2)
+            pl_xy = p0[None] + s[:, None] * dvec[None]
+            pts3 = np.concatenate([pl_xy, np.zeros((n_laser, 1))], -1) @ rot.T + t
+            laser_uv[b, v] = np_project(intr, pts3) + rng.normal(0, noise, (n_laser, 2))
+    camera = np.tile(intr[None], (batch, 1))
+    return camera, objs, tgt_uv, laser_uv, planes

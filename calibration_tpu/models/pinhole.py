@@ -76,6 +76,71 @@ def project_normalized(intr, xy):
     return cm.denormalize(kmtx_of(intr), dist.apply_distortion(xy, dist_of(intr)))
 
 
+def project_point_jacobians(intr, xyz):
+    """Analytic per-point Jacobians of ``project`` — the hand-derived chain
+    rule of denormalize(distort(hnormalized(xyz))) (pinhole.h:102-107 /
+    distortion.h:93-116), used by the Schur LM engines in place of a
+    jacfwd tangent sweep (a large FLOP saving under f64 emulation).
+
+    intr: (10,); xyz: (N, 3) camera-frame points. Returns
+    (j_intr (N, 2, 10), h (N, 2, 3)) with j_intr = d(u, v)/d intr in the
+    CameraTraits packing order and h = d(u, v)/d xyz. Equivalence vs jacfwd
+    is asserted in tests/test_lm_solvers.py.
+    """
+    iz = 1.0 / xyz[..., 2]
+    x = xyz[..., 0] * iz
+    y = xyz[..., 1] * iz
+
+    fx, fy, sk = intr[0], intr[1], intr[4]
+    k1, k2, k3, p1, p2 = intr[5], intr[6], intr[7], intr[8], intr[9]
+    r2 = x * x + y * y
+    r4 = r2 * r2
+    r6 = r4 * r2
+    rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    drad = k1 + 2.0 * k2 * r2 + 3.0 * k3 * r4
+    xy = x * y
+    xd = x * rad + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
+    yd = y * rad + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
+
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+
+    # d(xd, yd)/d(coeff) (distortion.h:93-116)
+    dxd_k = (x * r2, x * r4, x * r6, 2.0 * xy, r2 + 2.0 * x * x)
+    dyd_k = (y * r2, y * r4, y * r6, r2 + 2.0 * y * y, 2.0 * xy)
+
+    cols = [
+        jnp.stack([xd, z], -1),  # fx
+        jnp.stack([z, yd], -1),  # fy
+        jnp.stack([o, z], -1),  # cx
+        jnp.stack([z, o], -1),  # cy
+        jnp.stack([yd, z], -1),  # skew
+    ]
+    for dx_c, dy_c in zip(dxd_k, dyd_k):
+        cols.append(jnp.stack([fx * dx_c + sk * dy_c, fy * dy_c], -1))
+    j_intr = jnp.stack(cols, axis=-1)  # (N, 2, 10)
+
+    # G = d(u, v)/d(x, y) = [[fx, sk], [0, fy]] @ d(xd, yd)/d(x, y);
+    # d yd/dx == d xd/dy by symmetry of the Brown-Conrady model
+    dxdx = rad + 2.0 * x * x * drad + 2.0 * p1 * y + 6.0 * p2 * x
+    dxdy = 2.0 * xy * drad + 2.0 * p1 * x + 2.0 * p2 * y
+    dydy = rad + 2.0 * y * y * drad + 6.0 * p1 * y + 2.0 * p2 * x
+    g00 = fx * dxdx + sk * dxdy
+    g01 = fx * dxdy + sk * dydy
+    g10 = fy * dxdy
+    g11 = fy * dydy
+
+    # H = G @ d(x, y)/d xyz, with d(x, y)/d xyz = [[iz, 0, -x iz], [0, iz, -y iz]]
+    h = jnp.stack(
+        [
+            jnp.stack([g00 * iz, g01 * iz, -(g00 * x + g01 * y) * iz], -1),
+            jnp.stack([g10 * iz, g11 * iz, -(g10 * x + g11 * y) * iz], -1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    return j_intr, h
+
+
 def unproject(intr, pixel):
     """Pixel -> undistorted normalized coordinates (pinhole.h:109-113)."""
     return dist.undistort(cm.normalize(kmtx_of(intr), pixel), dist_of(intr))

@@ -66,6 +66,81 @@ def _view_residual(model, xg, vq_i, vt_i, obj_v, uv_v, mask_v, pc, c):
     return ((uv_hat - uv_v) * mask_v[..., None]).reshape(-1)
 
 
+def _skew3(p):
+    """[p]_x for general 3-vectors: (..., 3) -> (..., 3, 3)."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    o = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([o, -z, y], -1),
+            jnp.stack([z, o, -x], -1),
+            jnp.stack([-y, x, o], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _skew_z0(pts):
+    """[p]_x for planar target points p = (px, py, 0)."""
+    px, py = pts[..., 0], pts[..., 1]
+    z = jnp.zeros_like(px)
+    return jnp.stack(
+        [
+            jnp.stack([z, z, py], -1),
+            jnp.stack([z, z, -px], -1),
+            jnp.stack([-py, px, z], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _view_residual_jac_pinhole(xg, vq_i, vt_i, obj_v, uv_v, mask_v, pc, c):
+    """Analytic tangent Jacobian of ``_view_residual`` for the PINHOLE model.
+
+    Returns (C*N*2, C*pc + 6C + 6): global tangent columns in the
+    g_manifold layout [intr_0..intr_C, omega_cam x C, t_cam x C] followed
+    by the per-view [omega_v(3), t_v(3)]. Hand-derived chain rule of
+    project(intr_c, R_c (R_v exp(w_v^) p + t_v + dt_v) + t_c) with
+    right-multiplied quaternion retractions on both poses (the repo's
+    ProductManifold / Schur-view convention; equals jacfwd — tested).
+    Reference analogue: the Jets flowing through ExtrinsicResidual
+    (residuals/extrinsicsresidual.h:22-60).
+    """
+    import jax
+
+    from ..models import pinhole
+
+    intr = xg[: c * pc].reshape(c, pc)
+    cq = xg[c * pc : c * pc + 4 * c].reshape(c, 4)
+    cam_rot = se3.quat_to_rotmat(cq)  # (C, 3, 3)
+    ct = xg[c * pc + 4 * c :].reshape(c, 3)
+    view_rot = se3.quat_to_rotmat(vq_i)
+    pts = jnp.concatenate(
+        [obj_v, jnp.zeros(obj_v.shape[:-1] + (1,), obj_v.dtype)], axis=-1
+    )  # (C, N, 3)
+    n = pts.shape[1]
+    p_r = jnp.einsum("ij,cnj->cni", view_rot, pts) + vt_i  # rig-frame points
+    pc3 = jnp.einsum("cij,cnj->cni", cam_rot, p_r) + ct[:, None, :]
+    rot_c = jnp.einsum("cij,jk->cik", cam_rot, view_rot)
+
+    j_intr, h = jax.vmap(pinhole.project_point_jacobians)(intr, pc3)
+
+    eye_c = jnp.eye(c, dtype=xg.dtype)
+    # block-diagonal scatter: camera c's rows only touch camera c's columns
+    j_intr_blk = jnp.einsum("cnrp,cd->cnrdp", j_intr, eye_c).reshape(c, n, 2, c * pc)
+    m_wc = -jnp.einsum("cij,cnjk->cnik", cam_rot, _skew3(p_r))
+    j_wc = jnp.einsum("cnrj,cnjk->cnrk", h, m_wc)
+    j_wc_blk = jnp.einsum("cnrk,cd->cnrdk", j_wc, eye_c).reshape(c, n, 2, 3 * c)
+    j_tc_blk = jnp.einsum("cnrk,cd->cnrdk", h, eye_c).reshape(c, n, 2, 3 * c)
+    m_wv = -jnp.einsum("cij,cnjk->cnik", rot_c, _skew_z0(pts))
+    j_wv = jnp.einsum("cnrj,cnjk->cnrk", h, m_wv)
+    j_tv = jnp.einsum("cnrj,cjk->cnrk", h, cam_rot)
+
+    jac = jnp.concatenate([j_intr_blk, j_wc_blk, j_tc_blk, j_wv, j_tv], axis=-1)
+    jac = jac * mask_v[..., None, None]
+    return jac.reshape(-1, jac.shape[-1])
+
+
 def _residual(model, x, obj_xy, img_uv, mask, pc, c, v):
     intr, cq, ct, vq, vt = unpack(x, pc, c, v)
     cam_rot = se3.quat_to_rotmat(cq)  # (C, 3, 3)
@@ -90,6 +165,7 @@ def optimize_extrinsics_device(
     model: CameraModelSpec = PINHOLE,
     opts: ExtrinsicOptions | None = None,
     solver: str = "schur",
+    analytic_jac: bool = True,
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, C, N, 2); init_intrs: (C, pc);
     init_c_se3_r: (C, 4, 4); init_r_se3_t: (V, 4, 4); mask: (V, C, N).
@@ -98,6 +174,10 @@ def optimize_extrinsics_device(
     block elimination (optim.lm_schur with a manifold-valued global block:
     C intrinsics + C camera quaternion poses; Huber blocks per (view, cam)
     pair). "dense" falls back to the generic engine.
+
+    analytic_jac: hand-derived per-view Jacobians for the pinhole model in
+    the Schur engine (identical to jacfwd, fraction of the f64 cost);
+    non-pinhole models fall back to jacfwd.
     """
     opts = opts or ExtrinsicOptions()
     v, c, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
@@ -151,12 +231,20 @@ def optimize_extrinsics_device(
         res_view = lambda xg, q, t, o, u, m: _view_residual(
             model, xg, q, t, o, u, m, pc, c
         )
+        jac_view = (
+            (lambda xg, q, t, o, u, m: _view_residual_jac_pinhole(
+                xg, q, t, o, u, m, pc, c
+            ))
+            if (analytic_jac and model.name == PINHOLE.name)
+            else None
+        )
         # per-view pose freezing doubles as the target-0 gauge fix
         view_free = jnp.asarray(free[o_vq : o_vq + 4 * v].reshape(v, 4)[:, 0], x0.dtype)
         sout = lm_schur.lm_core_schur(
             res_view, x0[:ga], vq, vt, (obj_xy, img_uv, mask),
             options=opts.core, g_free=free[:ga], view_valid=view_free,
             lower_g=lower[:ga], g_manifold=g_manifold, blocks_per_view=c,
+            jac_view_fn=jac_view,
         )
         pack = lambda xg, q, t: jnp.concatenate(
             [xg, q.reshape(-1), t.reshape(-1)]
@@ -166,6 +254,7 @@ def optimize_extrinsics_device(
             jac_r = lm_schur.full_jacobian(
                 res_view, sout.xg, sout.quats, sout.trans,
                 (obj_xy, img_uv, mask), g_manifold=g_manifold,
+                jac_view_fn=jac_view,
             )
     else:
         out = lm.lm_core(
@@ -202,6 +291,7 @@ def optimize_extrinsics(
     model: CameraModelSpec = PINHOLE,
     opts: ExtrinsicOptions | None = None,
     solver: str = "schur",
+    analytic_jac: bool = True,
 ):
     opts = opts or ExtrinsicOptions()
     init_cameras = jnp.asarray(init_cameras)
@@ -211,6 +301,7 @@ def optimize_extrinsics(
         jnp.asarray(obj_xy), jnp.asarray(img_uv), init_cameras,
         jnp.asarray(init_c_se3_r), jnp.asarray(init_r_se3_t),
         mask=mask, model=model, opts=opts, solver=solver,
+        analytic_jac=analytic_jac,
     )
     core = OptimResult(
         success=bool(out.success),

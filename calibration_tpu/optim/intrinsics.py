@@ -66,6 +66,53 @@ def _view_residual(model, intr, quat_i, tran_i, obj_i, uv_i, mask_i):
     return ((uv_hat - uv_i) * mask_i[..., None]).reshape(-1)
 
 
+def _view_residual_jac_pinhole(intr, quat_i, tran_i, obj_i, uv_i, mask_i):
+    """Analytic tangent Jacobian of ``_view_residual`` for the PINHOLE model.
+
+    Returns (2N, 16): columns [fx, fy, cx, cy, skew, k1, k2, k3, p1, p2,
+    omega(3), dt(3)], rows interleaved (u, v) per point — exactly the
+    jacfwd of the Schur engine's retracted residual at zero tangent
+    (equivalence-tested in tests/test_lm_solvers.py). Hand-derived chain
+    rule of project(intr, R exp(omega^) p + t + dt): the same ~30-flop
+    kernel Ceres differentiates with Jets (SURVEY.md section 3.5), at a
+    fraction of the 16-tangent jacfwd cost in f64 emulation.
+
+    Rotation convention: right-multiplied quaternion retraction
+    q (x) exp_quat(omega) == R exp(omega^), so d p_c / d omega = -R [p]_x.
+    Assumes the fx/fy >= 0 box bounds are inactive (interior), matching
+    Ceres' unconstrained-interior linearization.
+    """
+    from ..models import pinhole
+
+    rot = se3.quat_to_rotmat(quat_i)
+    pts = jnp.concatenate(
+        [obj_i, jnp.zeros(obj_i.shape[:-1] + (1,), obj_i.dtype)], axis=-1
+    )
+    pc = pts @ rot.T + tran_i  # (N, 3)
+    j_intr, h = pinhole.project_point_jacobians(intr, pc)
+
+    # d p_c / d omega = -R [p]_x ; p = (px, py, 0)
+    j_rot = jnp.einsum("nrj,jk,nkl->nrl", h, -rot, _skew_z0(pts))
+
+    jac = jnp.concatenate([j_intr, j_rot, h], axis=-1)  # (N, 2, 16)
+    jac = jac * mask_i[..., None, None]
+    return jac.reshape(-1, jac.shape[-1])
+
+
+def _skew_z0(pts):
+    """[p]_x for planar target points p = (px, py, 0): (N, 3, 3)."""
+    px, py = pts[..., 0], pts[..., 1]
+    z = jnp.zeros_like(px)
+    return jnp.stack(
+        [
+            jnp.stack([z, z, py], -1),
+            jnp.stack([z, z, -px], -1),
+            jnp.stack([-py, px, z], -1),
+        ],
+        axis=-2,
+    )
+
+
 def _bounds_vectors(pc, v, model, opts: IntrinsicsOptimOptions, dtype):
     lower = jnp.full((pc + 7 * v,), -jnp.inf, dtype)
     lower = lower.at[model.idx_fx].set(0.0).at[model.idx_fy].set(0.0)
@@ -83,9 +130,14 @@ def optimize_intrinsics_device(
     precision: str = "f64",
     view_valid=None,
     solver: str = "schur",
+    analytic_jac: bool = True,
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, N, 2); init_intr: (pc,);
     init_poses: (V, 4, 4); mask: (V, N).
+
+    analytic_jac: use the hand-derived per-view Jacobian for the pinhole
+    model in the Schur engine (identical values to jacfwd, fraction of the
+    cost); non-pinhole models always fall back to jacfwd.
 
     precision="mixed" runs most LM iterations in float32 (native TPU speed;
     the Jacobi-scaled normal equations keep the f32 Cholesky conditioned)
@@ -133,6 +185,11 @@ def optimize_intrinsics_device(
 
     if solver == "schur":
         res_view = lambda intr, q, t, o, u, m: _view_residual(model, intr, q, t, o, u, m)
+        jac_view = (
+            _view_residual_jac_pinhole
+            if (analytic_jac and model.name == PINHOLE.name)
+            else None
+        )
         gmask = jnp.asarray(free[:pc], x0.dtype)
         lower_g = None if lower is None else lower[:pc]
         intr_c, quats_c, trans_c = jnp.asarray(init_intr), quats, trans
@@ -155,6 +212,7 @@ def optimize_intrinsics_device(
                 g_free=gmask,
                 view_valid=view_valid,
                 lower_g=None if lower_g is None else lower_g.astype(jnp.float32),
+                jac_view_fn=jac_view,
             )
             intr_c = s32.xg.astype(x0.dtype)
             quats_c = s32.quats.astype(x0.dtype)
@@ -162,7 +220,7 @@ def optimize_intrinsics_device(
         sout = lm_schur.lm_core_schur(
             res_view, intr_c, quats_c, trans_c, (obj_xy, img_uv, mask),
             options=opts.core, g_free=gmask, view_valid=view_valid,
-            lower_g=lower_g,
+            lower_g=lower_g, jac_view_fn=jac_view,
         )
         out = sout.as_lm_output(blocks.pack_intr_quats_trans)
     else:
@@ -202,6 +260,7 @@ def optimize_intrinsics_device(
             jac_r = lm_schur.full_jacobian(
                 lambda intr, q, t, o, u, m: _view_residual(model, intr, q, t, o, u, m),
                 sout.xg, sout.quats, sout.trans, (obj_xy, img_uv, mask),
+                jac_view_fn=jac_view,
             )
         cov, cov_ok = lm.covariance(
             res_fn, out.x, manifold, free_mask=free,
@@ -242,6 +301,7 @@ def optimize_intrinsics(
     precision: str = "f64",
     view_valid=None,
     solver: str = "schur",
+    analytic_jac: bool = True,
 ):
     """Host-facing wrapper (optimize_intrinsics, intrinsics.cpp:99-120).
 
@@ -262,6 +322,7 @@ def optimize_intrinsics(
         precision=precision,
         view_valid=view_valid,
         solver=solver,
+        analytic_jac=analytic_jac,
     )
     core = OptimResult(
         success=bool(out.success),

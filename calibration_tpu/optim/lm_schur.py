@@ -42,6 +42,8 @@ class SchurState(NamedTuple):
     xg: jnp.ndarray  # (pg,) global ambient params (euclid)
     quats: jnp.ndarray  # (V, 4)
     trans: jnp.ndarray  # (V, 3)
+    r: jnp.ndarray  # (V, m) residuals at (xg, quats, trans) — carried so each
+    # iteration runs ONE residual eval (the candidate's) instead of two
     mu: jnp.ndarray
     nu: jnp.ndarray
     cost: jnp.ndarray
@@ -81,7 +83,9 @@ def _retract_views(quats, trans, dv):
     return qn, trans + dv[..., 3:]
 
 
-def full_jacobian(residual_view_fn, xg, quats, trans, view_data, g_manifold=None):
+def full_jacobian(
+    residual_view_fn, xg, quats, trans, view_data, g_manifold=None, jac_view_fn=None
+):
     """Assemble the full tangent-space (r, J) at a solution from per-view
     (tg + 6)-tangent blocks, in the ProductManifold layout
     [global blocks..., quat x V, euclid(3) x V] used by
@@ -107,9 +111,14 @@ def full_jacobian(residual_view_fn, xg, quats, trans, view_data, g_manifold=None
 
     zero = jnp.zeros((pg + 6,), dtype)
     r = jax.vmap(lambda q, t, *d: res_local(zero, q, t, *d))(quats, trans, *view_data)
-    jac = jax.vmap(lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d))(
-        quats, trans, *view_data
-    )  # (V, m, pg+6)
+    if jac_view_fn is None:
+        jac = jax.vmap(lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d))(
+            quats, trans, *view_data
+        )  # (V, m, pg+6)
+    else:
+        jac = jax.vmap(lambda q, t, *d: jac_view_fn(xg, q, t, *d))(
+            quats, trans, *view_data
+        )
     m = jac.shape[1]
     tdim = pg + 6 * v
     jfull = jnp.zeros((v, m, tdim), dtype)
@@ -136,6 +145,7 @@ def lm_core_schur(
     upper_g=None,
     g_manifold=None,
     blocks_per_view: int = 1,
+    jac_view_fn: Callable | None = None,
 ) -> SchurOutput:
     """Minimize 0.5 * sum_v rho(|r_v|^2) over (global, per-view pose) blocks.
 
@@ -158,6 +168,12 @@ def lm_core_schur(
       blocks_per_view: Huber loss blocks per view (e.g. C for a C-camera
         rig whose reference adds one loss block per (view, camera) pair);
         each view's m residuals split into ``blocks_per_view`` equal runs.
+      jac_view_fn: optional analytic Jacobian — (xg, quat, tran, *data) ->
+        (m, pg+6) tangent Jacobian of residual_view_fn at zero tangent,
+        columns [global tangent, rotation omega(3), translation(3)]. Must
+        match jacfwd of the retracted residual exactly (equivalence-tested);
+        assumes the global retraction is the identity derivative at 0 (euclid
+        global, box bounds inactive). None -> jacfwd (the generic path).
     """
     eps = options.epsilon
     huber = options.huber_delta
@@ -214,10 +230,6 @@ def lm_core_schur(
         rho = jnp.where(out, 2.0 * huber * sqrt_s - d2, s)
         return jnp.repeat(w, run, axis=-1), 0.5 * jnp.sum(rho)
 
-    def cost_at(xg, quats, trans):
-        _, c = block_weights(residuals(xg, quats, trans))
-        return c
-
     tan6 = pg + 6
     eye6 = jnp.eye(6, dtype=dtype)
 
@@ -234,10 +246,15 @@ def lm_core_schur(
             return residual_view_fn(xg_new, qn, tran + delta[pg + 3 :], *data)
 
         zero = jnp.zeros((tan6,), dtype)
-        r = residuals(state.xg, state.quats, state.trans)  # (V, m)
-        jac = jax.vmap(
-            lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d)
-        )(state.quats, state.trans, *view_data)  # (V, m, pg+6)
+        r = state.r  # residuals at the current iterate, carried from init/accept
+        if jac_view_fn is None:
+            jac = jax.vmap(
+                lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d)
+            )(state.quats, state.trans, *view_data)  # (V, m, pg+6)
+        else:
+            jac = jax.vmap(
+                lambda q, t, *d: jac_view_fn(state.xg, q, t, *d)
+            )(state.quats, state.trans, *view_data)
 
         w, _ = block_weights(r)  # (V, m) row weights
         sw = jnp.sqrt(w)
@@ -301,7 +318,8 @@ def lm_core_schur(
 
         xg_new = clip_g(g_retract(state.xg, delta_g))
         q_new, t_new = _retract_views(state.quats, state.trans, delta_v)
-        cost_new = cost_at(xg_new, q_new, t_new)
+        r_new = residuals(xg_new, q_new, t_new)
+        _, cost_new = block_weights(r_new)
 
         pred = 0.5 * (
             jnp.dot(delta_g, mu * diag_u * delta_g - gu)
@@ -323,6 +341,7 @@ def lm_core_schur(
             xg=jnp.where(accept, xg_new, state.xg),
             quats=jnp.where(accept, q_new, state.quats),
             trans=jnp.where(accept, t_new, state.trans),
+            r=jnp.where(accept, r_new, state.r),
             mu=jnp.where(accept, mu_acc, mu_rej),
             nu=jnp.where(accept, 2.0, state.nu * 2.0),
             cost=jnp.where(accept, cost_new, state.cost),
@@ -336,11 +355,13 @@ def lm_core_schur(
         return (~state.done) & (state.it < options.max_iterations)
 
     xg_init = clip_g(jnp.asarray(xg0))
-    cost0 = cost_at(xg_init, quats0, trans0)
+    r0 = residuals(xg_init, jnp.asarray(quats0), jnp.asarray(trans0))
+    _, cost0 = block_weights(r0)
     init = SchurState(
         xg=xg_init,
         quats=jnp.asarray(quats0),
         trans=jnp.asarray(trans0),
+        r=r0,
         mu=jnp.asarray(_MU_INIT, dtype),
         nu=jnp.asarray(2.0, dtype),
         cost=cost0,

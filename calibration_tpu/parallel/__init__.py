@@ -4,6 +4,7 @@ from .batched import (
     handeye_batch,
     homography_batch,
     intrinsics_batch,
+    linescan_batch,
     planar_pose_batch,
     reprojection_rms_batch,
 )

@@ -332,3 +332,47 @@ def bundle_batch(
         mesh,
     )
     return _bundle_batch_jit(*args, opts)
+
+
+@jax.jit
+def _linescan_batch_jit(camera, obj, tgt_uv, laser_uv, tmask, lmask):
+    from ..models import pinhole
+    from ..ops import linescan as ls
+
+    def one(cam, o, tu, lu, tm, lm):
+        # full unprojection through distortion, matching the facade
+        # (linescan.h:66-69, 84 camera.unproject calls)
+        tgt_norm = pinhole.unproject(cam[None, None], tu)
+        laser_norm = pinhole.unproject(cam[None, None], lu)
+        res, pts, pts_mask = ls.calibrate_laser_plane(
+            o, tgt_norm, laser_norm, target_mask=tm, laser_mask=lm
+        )
+        return res
+
+    return jax.vmap(one)(camera, obj, tgt_uv, laser_uv, tmask, lmask)
+
+
+def linescan_batch(camera, obj_xy, target_uv, laser_uv, target_mask=None,
+                   laser_mask=None, mesh=None):
+    """Laser-plane calibration for a batch of line-scan rigs (SVD plane fit).
+
+    camera: (B, 10) flat pinhole intrinsics; obj_xy/target_uv: (B, V, N, 2)
+    target detections; laser_uv: (B, V, L, 2) laser pixels; masks optional.
+    Returns a LineScanResult batch (plane (B, 4), homography (B, 3, 3),
+    rms_error (B,), inlier_count (B,), ok (B,)). Reference analogue:
+    calibrate_laser_plane per rig (linescan.h:101-146), solved serially.
+    """
+    camera = jnp.asarray(camera)
+    obj_xy = jnp.asarray(obj_xy)
+    target_uv = jnp.asarray(target_uv)
+    laser_uv = jnp.asarray(laser_uv)
+    if target_mask is None:
+        target_mask = jnp.ones(obj_xy.shape[:-1], bool)
+    if laser_mask is None:
+        laser_mask = jnp.ones(laser_uv.shape[:-1], bool)
+    args = _maybe_shard(
+        (camera, obj_xy, target_uv, laser_uv, jnp.asarray(target_mask),
+         jnp.asarray(laser_mask)),
+        mesh,
+    )
+    return _linescan_batch_jit(*args)

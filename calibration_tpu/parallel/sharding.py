@@ -81,6 +81,17 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
             x = np.asarray(x)
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, sharding)
+        if n > 1 and getattr(x, "ndim", 0) >= 1 and x.shape[0] > n:
+            # batch-like leaf that doesn't divide the mesh: replicating is a
+            # silent n-x memory/compute loss — tell the caller to pad
+            import warnings
+
+            warnings.warn(
+                f"shard_batch: leading axis {x.shape[0]} does not divide the "
+                f"{n}-device mesh — leaf will be REPLICATED. Pad the batch "
+                f"first with parallel.pad_batch.",
+                stacklevel=3,
+            )
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(place, tree)

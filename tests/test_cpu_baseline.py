@@ -134,3 +134,29 @@ def test_solve_bundle_cpu_recovers_gt():
     m[:3, 3] = res.x[3:6]
     assert synth.rot_err_deg(m, sim["g_se3_c"]) < 1e-5
     assert synth.trans_err(m, sim["g_se3_c"]) < 1e-7
+
+
+def test_solve_linescan_cpu_recovers_gt_and_matches_tpu():
+    """The numpy linescan baseline and the batched jnp path solve the SAME
+    closed-form pipeline: both must recover the GT laser plane (noiseless)
+    and agree with each other."""
+    from benchmarks import problems as pb
+    from calibration_tpu.parallel import batched
+
+    camera, obj, tgt_uv, laser_uv, plane_gt = pb.linescan_problems(
+        3, noise=0.0, seed=31
+    )
+    res = batched.linescan_batch(camera, obj, tgt_uv, laser_uv)
+    plane_tpu = np.asarray(res.plane)
+    assert bool(np.asarray(res.ok).all())
+    # fit_plane_svd's normal sign is the SVD's (arbitrary); compare with
+    # d >= 0 canonicalization
+    canon = lambda p: p if p[3] >= 0 else -p
+    for i in range(3):
+        plane_cpu, rms = cb.solve_linescan_cpu(
+            camera[i], obj[i], tgt_uv[i], laser_uv[i]
+        )
+        np.testing.assert_allclose(canon(plane_cpu), plane_gt[i], atol=5e-8)
+        np.testing.assert_allclose(canon(plane_tpu[i]), canon(plane_cpu), atol=1e-7)
+        assert rms < 1e-8
+        assert float(np.asarray(res.rms_error)[i]) < 1e-8

@@ -202,6 +202,65 @@ def test_schur_solver_matches_dense():
     np.testing.assert_allclose(schur.c_se3_t[6], poses0[6], atol=1e-12)
 
 
+def test_analytic_pinhole_jacobian_matches_jacfwd():
+    """The hand-derived per-view Jacobian (optim/intrinsics.py::
+    _view_residual_jac_pinhole) must equal jacfwd of the Schur engine's
+    retracted residual at zero tangent, including masked rows."""
+    import jax
+
+    from calibration_tpu.models.registry import PINHOLE
+    from calibration_tpu.optim import intrinsics as oi
+
+    rng = np.random.default_rng(3)
+    intr = jnp.asarray(synth.default_camera() + rng.normal(0, 0.01, 10))
+    obj = jnp.asarray(synth.make_target_grid(4, 5, 0.05))
+    pose = synth.euler_pose(0.3, -0.2, 0.1, [0.02, -0.04, 0.9])
+    q = jnp.asarray(se3.rotmat_to_quat(jnp.asarray(pose[:3, :3])))
+    t = jnp.asarray(pose[:3, 3])
+    uv = jnp.asarray(rng.uniform(0, 640, (20, 2)))
+    mask = jnp.asarray((rng.uniform(size=20) > 0.2).astype(float))
+
+    def res_local(delta):
+        intr_new = intr + delta[:10]
+        dq = se3.exp_quat(delta[10:13])
+        qn = se3.quat_mul(q, dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return oi._view_residual(PINHOLE, intr_new, qn, t + delta[13:], obj, uv, mask)
+
+    jac_fwd = jax.jacfwd(res_local)(jnp.zeros(16, intr.dtype))
+    jac_ana = oi._view_residual_jac_pinhole(intr, q, t, obj, uv, mask)
+    scale = np.maximum(1.0, np.abs(np.asarray(jac_fwd)))
+    np.testing.assert_allclose(
+        np.asarray(jac_ana) / scale, np.asarray(jac_fwd) / scale, atol=1e-12
+    )
+
+
+def test_analytic_jac_solver_matches_jacfwd_solver():
+    """Full solve with the analytic Jacobian lands where the jacfwd solve
+    lands (same trajectory to roundoff)."""
+    rng = np.random.default_rng(12)
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.04)
+    poses = synth.circle_views(6)
+    uv = synth.render_pixels(intr_gt, poses, obj, noise=0.2, rng=rng)
+    obj_b = np.tile(obj[None], (6, 1, 1))
+    intr0 = intr_gt.copy()
+    intr0[:4] += [6.0, -5.0, 3.0, -2.0]
+    intr0[5:] = 0.0
+
+    a = optimize_intrinsics(obj_b, uv, intr0, poses, analytic_jac=True)
+    f = optimize_intrinsics(obj_b, uv, intr0, poses, analytic_jac=False)
+    assert a.core.success and f.core.success
+    np.testing.assert_allclose(a.camera, f.camera, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(a.core.final_cost, f.core.final_cost, rtol=1e-10)
+    assert a.core.iterations == f.core.iterations
+    # roundoff on near-zero cross terms: analytic and jacfwd evaluate the
+    # same Jacobian with different op order (observed max |d| ~3e-13)
+    np.testing.assert_allclose(
+        a.core.covariance, f.core.covariance, rtol=1e-6, atol=1e-12
+    )
+
+
 def test_optimize_intrinsics_semidlt():
     intr_gt = synth.default_camera()
     intr_gt[5:] = [-0.1, 0.03, 0.0, 0.0, 0.0]  # k3=p1=p2=0; semidlt fits k1,k2,p1,p2
@@ -280,6 +339,53 @@ def test_extrinsics_schur_matches_dense():
     assert dense.core.covariance is not None and schur.core.covariance is not None
     np.testing.assert_allclose(
         schur.core.covariance, dense.core.covariance, rtol=1e-4, atol=1e-12
+    )
+
+
+def test_analytic_extrinsics_jacobian_matches_jacfwd():
+    """optim/extrinsics.py::_view_residual_jac_pinhole must equal jacfwd of
+    the Schur engine's retracted residual (manifold-valued global block:
+    C intrinsics + C camera quat poses) at zero tangent."""
+    import jax
+
+    from calibration_tpu.models.registry import PINHOLE
+    from calibration_tpu.optim import extrinsics as oe
+    from calibration_tpu.optim.manifold import ProductManifold, euclid, quat
+    from calibration_tpu.optim import blocks as ob
+
+    rng = np.random.default_rng(7)
+    c, n, pc = 2, 12, 10
+    intrs = np.stack([synth.default_camera(), synth.default_camera()])
+    intrs[:, :4] += rng.normal(0, 2, (c, 4))
+    cams = np.stack(
+        [np.eye(4), synth.euler_pose(0.02, -0.3, 0.01, [-0.2, 0.01, 0.02])]
+    )
+    cq, ct = ob.poses_to_quat_tran(jnp.asarray(cams))
+    xg = jnp.concatenate([jnp.asarray(intrs).reshape(-1), cq.reshape(-1), ct.reshape(-1)])
+    vpose = synth.euler_pose(0.2, -0.1, 0.05, [0.01, 0.02, 0.95])
+    vq, vt = ob.poses_to_quat_tran(jnp.asarray(vpose[None]))
+    vq, vt = vq[0], vt[0]
+    obj = jnp.asarray(np.tile(synth.make_target_grid(3, 4, 0.06)[None], (c, 1, 1)))
+    uv = jnp.asarray(rng.uniform(0, 640, (c, n, 2)))
+    mask = jnp.asarray((rng.uniform(size=(c, n)) > 0.2).astype(float))
+
+    g_manifold = ProductManifold([euclid(pc)] * c + [quat()] * c + [euclid(3)] * c)
+    pg = g_manifold.tangent_dim
+
+    def res_local(delta):
+        xg_new = g_manifold.retract(xg, delta[:pg])
+        dq = se3.exp_quat(delta[pg : pg + 3])
+        qn = se3.quat_mul(vq, dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return oe._view_residual(
+            PINHOLE, xg_new, qn, vt + delta[pg + 3 :], obj, uv, mask, pc, c
+        )
+
+    jac_fwd = jax.jacfwd(res_local)(jnp.zeros(pg + 6, xg.dtype))
+    jac_ana = oe._view_residual_jac_pinhole(xg, vq, vt, obj, uv, mask, pc, c)
+    scale = np.maximum(1.0, np.abs(np.asarray(jac_fwd)))
+    np.testing.assert_allclose(
+        np.asarray(jac_ana) / scale, np.asarray(jac_fwd) / scale, atol=1e-12
     )
 
 
