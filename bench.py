@@ -87,7 +87,15 @@ def tpu_throughput(obj, uv, repeats=3):
         core=OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
     )
     precision = os.environ.get("BENCH_PRECISION", "f64")
-    analytic = os.environ.get("BENCH_ANALYTIC", "1") != "0"
+    # auto: analytic Jacobians win when latency-bound (small batch), jacfwd
+    # wins once the MXU saturates (parallel/batched.py::ANALYTIC_JAC_MAX_BATCH)
+    env = os.environ.get("BENCH_ANALYTIC", "auto")
+    if env == "auto":
+        from calibration_tpu.parallel.batched import ANALYTIC_JAC_MAX_BATCH
+
+        analytic = obj.shape[0] <= ANALYTIC_JAC_MAX_BATCH
+    else:
+        analytic = env != "0"
 
     @jax.jit
     def solve(obj, uv):
@@ -140,9 +148,12 @@ def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
         return None
 
     b = min(max_problems, obj.shape[0])
+    # same seed perturbation as bench_all.py::bench_intrinsics so the two
+    # harnesses report comparable CPU numbers
+    pert = intr_gt + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0])
     t0 = time.time()
     for i in range(b):
-        x0 = cb.intrinsics_x0(intr_gt * (1 + 0.01), poses0[i])
+        x0 = cb.intrinsics_x0(pert, poses0[i])
         cb.solve_intrinsics_cpu(obj[i], uv[i], x0)
     dt = time.time() - t0
     print(

@@ -61,6 +61,62 @@ def _residual(model, x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c):
     return r.reshape(-1)
 
 
+def _residual_jac_pinhole(x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c):
+    """Analytic tangent Jacobian of ``_residual`` for the PINHOLE model.
+
+    Returns (O*N*2, C*pc + 6C + 6): columns in the make_manifold tangent
+    layout [intr_0..intr_C, omega_g x C, t_g x C, omega_b(3), t_b(3)],
+    hand-derived chain rule of
+    project(intr_c, R_g^T (R_bo^T (R_b exp(omega_b^) p + t_b - t_bo)
+    - t_g)) with right-multiplied quaternion retractions on g_se3_c and
+    b_se3_t (the ProductManifold convention; equals jacfwd — tested in
+    tests/test_lm_solvers.py). Assumes fx/fy box bounds are inactive.
+    Reference analogue: the Jets flowing through BundleReprojResidual
+    (residuals/bundleresidual.h:14-69).
+    """
+    import jax
+
+    from ..models import pinhole
+
+    intr, gq, gt, bq, bt = unpack(x, pc, c)
+    rg = se3.quat_to_rotmat(gq)  # (C, 3, 3) gripper<-camera
+    rb = se3.quat_to_rotmat(bq)  # base<-target
+    rbo = se3.rot(b_se3_g)  # (O, 3, 3) base<-gripper
+    tbo = se3.tra(b_se3_g)
+    rg_o = rg[cam_idx]  # (O, 3, 3)
+    tg_o = gt[cam_idx]
+
+    pts = jnp.concatenate(
+        [obj_xy, jnp.zeros(obj_xy.shape[:-1] + (1,), obj_xy.dtype)], axis=-1
+    )  # (O, N, 3)
+    n = pts.shape[1]
+    p_base = pts @ rb.T + bt  # (O, N, 3) target points in base frame
+    p_g = jnp.einsum("oij,onj->oni", jnp.swapaxes(rbo, -1, -2), p_base - tbo[:, None])
+    p_c = jnp.einsum("oij,onj->oni", jnp.swapaxes(rg_o, -1, -2), p_g - tg_o[:, None])
+
+    j_intr, h = jax.vmap(pinhole.project_point_jacobians)(intr[cam_idx], p_c)
+
+    onehot = jnp.asarray(cam_idx[:, None] == jnp.arange(c)[None, :], x.dtype)  # (O, C)
+    # intr: camera c's rows only touch camera c's intrinsics block
+    j_intr_blk = jnp.einsum("onrp,oc->onrcp", j_intr, onehot).reshape(-1, n, 2, c * pc)
+    # d p_c / d omega_g = [p_c]_x  (p_c(w) = exp(-w^) p_c)
+    j_wg = jnp.einsum("onrj,onjk->onrk", h, se3.skew(p_c))
+    j_wg_blk = jnp.einsum("onrk,oc->onrck", j_wg, onehot).reshape(-1, n, 2, 3 * c)
+    # d p_c / d t_g = -R_g^T
+    j_tg = -jnp.einsum("onrj,okj->onrk", h, rg_o)  # h @ (-rg_o^T)
+    j_tg_blk = jnp.einsum("onrk,oc->onrck", j_tg, onehot).reshape(-1, n, 2, 3 * c)
+    # d p_c / d omega_b = -R_cb R_b [p_t]_x with R_cb = R_g^T R_bo^T
+    r_cb = jnp.einsum("oji,okj->oik", rg_o, rbo)  # rg_o^T @ rbo^T
+    r_ct = jnp.einsum("oij,jk->oik", r_cb, rb)
+    j_wb = -jnp.einsum("onrj,ojk,onkl->onrl", h, r_ct, se3.skew(pts))
+    # d p_c / d t_b = R_cb
+    j_tb = jnp.einsum("onrj,ojk->onrk", h, r_cb)
+
+    jac = jnp.concatenate([j_intr_blk, j_wg_blk, j_tg_blk, j_wb, j_tb], axis=-1)
+    jac = jac * mask[..., None, None]
+    return jac.reshape(-1, jac.shape[-1])
+
+
 def optimize_bundle_device(
     obj_xy,
     img_uv,
@@ -73,6 +129,7 @@ def optimize_bundle_device(
     model: CameraModelSpec = PINHOLE,
     opts: BundleOptions | None = None,
     precision: str = "f64",
+    analytic_jac: bool = True,
 ):
     """Pure-jnp core.
 
@@ -82,6 +139,10 @@ def optimize_bundle_device(
 
     precision="mixed": float32 LM iterations then a float64 polish (see
     optimize_intrinsics_device).
+
+    analytic_jac: hand-derived tangent Jacobian for the pinhole model
+    (identical to jacfwd, a fraction of the (C*pc+6C+6)-tangent cost in
+    f64 emulation); non-pinhole models fall back to jacfwd.
     """
     opts = opts or BundleOptions()
     o_cnt, n = obj_xy.shape[0], obj_xy.shape[1]
@@ -122,11 +183,23 @@ def optimize_bundle_device(
     lower = jnp.asarray(lower)
 
     block_ids = jnp.repeat(jnp.arange(o_cnt, dtype=jnp.int32), 2 * n)
+    b_se3_g = jnp.asarray(b_se3_g)
     res_fn = lambda x: _residual(model, x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c)
+    use_analytic = analytic_jac and model.name == PINHOLE.name
+    jac_fn = (
+        (lambda x: _residual_jac_pinhole(x, obj_xy, img_uv, mask, b_se3_g, cam_idx, pc, c))
+        if use_analytic
+        else None
+    )
 
     if precision == "mixed":
-        args32 = [a.astype(jnp.float32) for a in (obj_xy, img_uv, mask, jnp.asarray(b_se3_g))]
+        args32 = [a.astype(jnp.float32) for a in (obj_xy, img_uv, mask, b_se3_g)]
         res32 = lambda x: _residual(model, x, args32[0], args32[1], args32[2], args32[3], cam_idx, pc, c)
+        jac32 = (
+            (lambda x: _residual_jac_pinhole(x, args32[0], args32[1], args32[2], args32[3], cam_idx, pc, c))
+            if use_analytic
+            else None
+        )
         coarse = dataclasses.replace(
             opts.core, epsilon=max(1e-5, opts.core.epsilon),
             max_iterations=min(30, opts.core.max_iterations),
@@ -134,16 +207,18 @@ def optimize_bundle_device(
         out32 = lm.lm_core(
             res32, x0.astype(jnp.float32), manifold, options=coarse, free_mask=free,
             block_ids=block_ids, num_blocks=o_cnt, lower=lower.astype(jnp.float32),
+            jac_fn=jac32,
         )
         x0 = out32.x.astype(x0.dtype)
 
     out = lm.lm_core(
         res_fn, x0, manifold, options=opts.core, free_mask=free,
-        block_ids=block_ids, num_blocks=o_cnt, lower=lower,
+        block_ids=block_ids, num_blocks=o_cnt, lower=lower, jac_fn=jac_fn,
     )
     cov, cov_ok = lm.covariance(
         res_fn, out.x, manifold, free_mask=free,
         block_ids=block_ids, num_blocks=o_cnt, huber_delta=opts.core.huber_delta,
+        jac_fn=jac_fn,
     )
 
     intr, gqf, gtf, bqf, btf = unpack(out.x, pc, c)
@@ -171,6 +246,7 @@ def optimize_bundle(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: BundleOptions | None = None,
+    analytic_jac: bool = True,
 ):
     opts = opts or BundleOptions()
     initial_cameras = jnp.asarray(initial_cameras)
@@ -182,6 +258,7 @@ def optimize_bundle(
         jnp.asarray(obj_xy), jnp.asarray(img_uv), jnp.asarray(b_se3_g),
         jnp.asarray(cam_idx), initial_cameras, jnp.asarray(init_g_se3_c),
         jnp.asarray(init_b_se3_t), mask=mask, model=model, opts=opts,
+        analytic_jac=analytic_jac,
     )
     core = OptimResult(
         success=bool(out.success),

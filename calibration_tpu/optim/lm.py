@@ -81,6 +81,7 @@ def make_lm_step(
     num_blocks: int = 0,
     lower=None,
     upper=None,
+    jac_fn: Optional[Callable] = None,
 ) -> tuple[LMState, Callable, Callable]:
     """Build one LM iteration as a pure ``LMState -> LMState`` function.
 
@@ -123,6 +124,12 @@ def make_lm_step(
         return _plain_cost(r)
 
     def residual_and_jac(x):
+        if jac_fn is not None:
+            # analytic tangent Jacobian at x (must equal jacfwd of the
+            # retracted residual at zero tangent; assumes box bounds are
+            # inactive at the iterate, matching Ceres' interior
+            # linearization)
+            return residual_fn(x), jac_fn(x)
         zero = jnp.zeros((tdim,), dtype)
         rt = lambda d: residual_fn(clip_x(manifold.retract(x, d)))
         r = rt(zero)
@@ -221,6 +228,7 @@ def lm_core(
     num_blocks: int = 0,
     lower=None,
     upper=None,
+    jac_fn: Optional[Callable] = None,
 ) -> LMOutput:
     """Minimize 0.5 * sum rho(|r|^2) over the manifold.
 
@@ -238,6 +246,9 @@ def lm_core(
       num_blocks: static count of robust-loss blocks.
       lower/upper: optional (ambient_dim,) box bounds, enforced by projection
         after each retract (SetParameterLowerBound equivalent).
+      jac_fn: optional analytic tangent Jacobian, x -> (m, tangent_dim).
+        Must equal jacfwd of the retracted residual at zero tangent
+        (equivalence-tested per solver); None -> jacfwd autodiff.
     """
     init, step, cond = make_lm_step(
         residual_fn,
@@ -249,6 +260,7 @@ def lm_core(
         num_blocks=num_blocks,
         lower=lower,
         upper=upper,
+        jac_fn=jac_fn,
     )
     final = jax.lax.while_loop(cond, step, init)
     success = final.termination > 0
@@ -274,6 +286,7 @@ def covariance(
     num_blocks: int = 0,
     huber_delta: float = 0.0,
     jac_r=None,
+    jac_fn: Optional[Callable] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Ambient-space covariance at the solution (ceresutils.h:69-126).
 
@@ -307,13 +320,15 @@ def covariance(
     else:
         tan_free = manifold.ambient_to_tangent_mask(jnp.asarray(free_mask)).astype(dtype)
 
-    if jac_r is None:
+    if jac_r is not None:
+        r, jac = jac_r
+    elif jac_fn is not None:
+        r, jac = residual_fn(x), jac_fn(x)
+    else:
         zero = jnp.zeros((tdim,), dtype)
         rt = lambda d: residual_fn(manifold.retract(x, d))
         r = rt(zero)
         jac = jax.jacfwd(rt)(zero)
-    else:
-        r, jac = jac_r
     jac = jac * tan_free[None, :]
     ssr = jnp.sum(r * r)
     if huber_delta > 0:

@@ -33,6 +33,23 @@ def _maybe_shard(args, mesh):
     return sh.shard_batch(args, mesh)
 
 
+# Measured crossover (TPU v5e, f64, bench problem shapes): hand-derived
+# analytic Jacobians beat jacfwd ~1.8x when the chip is latency-bound
+# (B=8: 68 vs 38 solves/s) but LOSE ~1.6x once the batch saturates the MXU
+# (B=256: 88 vs 144 solves/s) — jacfwd's tangent propagation lowers to
+# dot_generals that ride the MXU's bf16 f64-emulation, while the analytic
+# einsum chains are VPU elementwise work. Batched callers therefore
+# auto-select by batch size; single-problem callers (facades, CLIs) keep
+# analytic_jac=True.
+ANALYTIC_JAC_MAX_BATCH = 32
+
+
+def _resolve_analytic(analytic_jac, batch):
+    if analytic_jac is None:
+        return batch <= ANALYTIC_JAC_MAX_BATCH
+    return bool(analytic_jac)
+
+
 @functools.partial(jax.jit, static_argnames=("options",))
 def _homography_batch_jit(init_h, obj, uv, mask, options):
     fn = lambda h0, o, u, m: optimize_homography_device(h0, o, u, m, options=options)
@@ -54,13 +71,18 @@ def homography_batch(obj_xy, img_uv, mask=None, options: OptimOptions = OptimOpt
     return _homography_batch_jit(*args, options)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "model_name", "precision"))
-def _intrinsics_batch_jit(obj, uv, mask, init_intr, init_poses, opts, model_name, precision):
+@functools.partial(
+    jax.jit, static_argnames=("opts", "model_name", "precision", "analytic")
+)
+def _intrinsics_batch_jit(
+    obj, uv, mask, init_intr, init_poses, opts, model_name, precision, analytic
+):
     from ..models.registry import get_model
 
     model = get_model(model_name)
     fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
-        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision
+        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision,
+        analytic_jac=analytic,
     )
     return jax.vmap(fn)(obj, uv, mask, init_intr, init_poses)
 
@@ -73,12 +95,15 @@ def intrinsics_batch(
     model_name: str = "pinhole_brown_conrady",
     mesh=None,
     precision: str = "f64",
+    analytic_jac: bool | None = None,
 ):
     """Full Zhang + LM pipeline for a batch of B cameras.
 
     obj_xy/img_uv: (B, V, N, 2); mask: (B, V, N). The linear seed (batched
     homography DLT -> Zhang -> pose decomposition) and the LM refine run as
     one jitted program over the whole batch.
+
+    analytic_jac: None -> auto by batch size (ANALYTIC_JAC_MAX_BATCH).
     """
     opts = opts or IntrinsicsOptimOptions()
     obj_xy = jnp.asarray(obj_xy)
@@ -101,15 +126,17 @@ def intrinsics_batch(
     args = _maybe_shard(
         (obj_xy, img_uv, mask.astype(obj_xy.dtype), init_intr, seed.c_se3_t), mesh
     )
-    out = _intrinsics_batch_jit(*args, opts, model_name, precision)
+    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
+    out = _intrinsics_batch_jit(*args, opts, model_name, precision, analytic)
     return seed, out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("opts", "model_name", "precision", "bounds", "zero_skew")
+    jax.jit,
+    static_argnames=("opts", "model_name", "precision", "bounds", "zero_skew", "analytic"),
 )
 def _intrinsics_facade_batch_jit(
-    obj, uv, mask, view_valid, opts, model_name, precision, bounds, zero_skew
+    obj, uv, mask, view_valid, opts, model_name, precision, bounds, zero_skew, analytic
 ):
     from ..models.registry import get_model
 
@@ -136,7 +163,8 @@ def _intrinsics_facade_batch_jit(
     good = jnp.all(jnp.isfinite(init_poses), axis=(-2, -1)) & (view_valid > 0)
     init_poses = jnp.where(good[..., None, None], init_poses, safe)
     fn = lambda o, u, m, i0, p0, vv: optimize_intrinsics_device(
-        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision, view_valid=vv
+        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision,
+        view_valid=vv, analytic_jac=analytic,
     )
     out = jax.vmap(fn)(obj, uv, vmask, init_intr, init_poses, view_valid)
     return seed, pose_ok, out
@@ -153,6 +181,7 @@ def intrinsics_facade_batch(
     model_name: str = "pinhole_brown_conrady",
     precision: str = "f64",
     mesh=None,
+    analytic_jac: bool | None = None,
 ):
     """Facade-parity fleet solve: the full per-sensor pipeline of
     PlanarIntrinsicCalibrationFacade (bounds-sanitized Zhang seed, frozen-skew
@@ -177,18 +206,24 @@ def intrinsics_facade_batch(
         view_valid = jnp.ones(obj_xy.shape[:2], obj_xy.dtype)
     view_valid = jnp.asarray(view_valid, obj_xy.dtype)
     args = _maybe_shard((obj_xy, img_uv, mask, view_valid), mesh)
+    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
     return _intrinsics_facade_batch_jit(
-        *args, opts, model_name, precision, bounds, zero_skew
+        *args, opts, model_name, precision, bounds, zero_skew, analytic
     )
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "model_name", "solver"))
-def _extrinsics_batch_jit(obj, uv, mask, intrs, c_se3_r, r_se3_t, opts, model_name, solver):
+@functools.partial(
+    jax.jit, static_argnames=("opts", "model_name", "solver", "analytic")
+)
+def _extrinsics_batch_jit(
+    obj, uv, mask, intrs, c_se3_r, r_se3_t, opts, model_name, solver, analytic
+):
     from ..models.registry import get_model
 
     model = get_model(model_name)
     fn = lambda o, u, m, i0, c0, r0: optimize_extrinsics_device(
-        o, u, i0, c0, r0, mask=m, model=model, opts=opts, solver=solver
+        o, u, i0, c0, r0, mask=m, model=model, opts=opts, solver=solver,
+        analytic_jac=analytic,
     )
     return jax.vmap(fn)(obj, uv, mask, intrs, c_se3_r, r_se3_t)
 
@@ -204,6 +239,7 @@ def extrinsics_batch(
     model_name: str = "pinhole_brown_conrady",
     mesh=None,
     solver: str = "schur",
+    analytic_jac: bool | None = None,
 ):
     """Joint multi-camera extrinsics refinement for a fleet of B rigs in
     one device dispatch (the reference's stereo stage loops pairs serially,
@@ -224,7 +260,8 @@ def extrinsics_batch(
          jnp.asarray(init_c_se3_r), jnp.asarray(init_r_se3_t)),
         mesh,
     )
-    return _extrinsics_batch_jit(*args, opts, model_name, solver)
+    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
+    return _extrinsics_batch_jit(*args, opts, model_name, solver, analytic)
 
 
 @jax.jit
@@ -308,10 +345,11 @@ def planar_pose_batch(obj_xy, img_uv, kmtx, mask=None, options: OptimOptions = O
     return _planar_pose_batch_jit(*args, options)
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
-def _bundle_batch_jit(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask, opts):
+@functools.partial(jax.jit, static_argnames=("opts", "analytic"))
+def _bundle_batch_jit(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask, opts, analytic):
     fn = lambda o, u, bg, ci, i0, g, b, m: optimize_bundle_device(
-        o, u, bg, ci, i0, g, b, mask=m, model=PINHOLE, opts=opts
+        o, u, bg, ci, i0, g, b, mask=m, model=PINHOLE, opts=opts,
+        analytic_jac=analytic,
     )
     return jax.vmap(fn)(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask)
 
@@ -319,8 +357,11 @@ def _bundle_batch_jit(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask, opts):
 def bundle_batch(
     obj_xy, img_uv, b_se3_g, cam_idx, init_intrs, init_g_se3_c, init_b_se3_t,
     mask=None, opts: Optional[BundleOptions] = None, mesh=None,
+    analytic_jac: bool | None = None,
 ):
-    """Bundle adjustment for a batch of rigs (leading axis B on every arg)."""
+    """Bundle adjustment for a batch of rigs (leading axis B on every arg).
+
+    analytic_jac: None -> auto by batch size (ANALYTIC_JAC_MAX_BATCH)."""
     opts = opts or BundleOptions()
     obj_xy = jnp.asarray(obj_xy)
     if mask is None:
@@ -331,7 +372,8 @@ def bundle_batch(
          jnp.asarray(mask, obj_xy.dtype)),
         mesh,
     )
-    return _bundle_batch_jit(*args, opts)
+    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
+    return _bundle_batch_jit(*args, opts, analytic)
 
 
 @jax.jit

@@ -490,6 +490,87 @@ def test_optimize_bundle_with_intrinsics():
     assert res.core.success
     np.testing.assert_allclose(res.cameras[0][:4], intr_gt[:4], atol=1e-6)
 
+def test_analytic_bundle_jacobian_matches_jacfwd():
+    """optim/bundle.py::_residual_jac_pinhole must equal jacfwd of the
+    manifold-retracted bundle residual at zero tangent, including the
+    cam_idx block scatter and masked rows."""
+    import jax
+
+    from calibration_tpu.models.registry import PINHOLE
+    from calibration_tpu.optim import bundle as obund
+    from calibration_tpu.optim import blocks as ob
+
+    rng = np.random.default_rng(9)
+    c, o, n, pc = 2, 5, 12, 10
+    intrs = np.stack([synth.default_camera(), synth.default_camera()])
+    intrs[:, :4] += rng.normal(0, 2, (c, 4))
+    g = np.stack([
+        synth.euler_pose(0.05, -0.04, 0.03, [0.02, -0.03, 0.05]),
+        synth.euler_pose(-0.03, 0.06, -0.02, [0.01, 0.04, -0.02]),
+    ])
+    gq, gt = ob.poses_to_quat_tran(jnp.asarray(g))
+    bpose = synth.euler_pose(0.06, 0.02, -0.07, [0.41, -0.09, 0.19])
+    bq = jnp.asarray(se3.rotmat_to_quat(jnp.asarray(bpose[:3, :3])))
+    bt = jnp.asarray(bpose[:3, 3])
+    x = jnp.concatenate(
+        [jnp.asarray(intrs).reshape(-1), gq.reshape(-1), gt.reshape(-1), bq, bt]
+    )
+    b_se3_g = jnp.asarray(
+        np.stack([synth.euler_pose(*rng.normal(0, 0.3, 3), rng.normal(0, 0.2, 3))
+                  for _ in range(o)])
+    )
+    cam_idx = jnp.asarray(rng.integers(0, c, o), jnp.int32)
+    obj = jnp.asarray(np.tile(synth.make_target_grid(3, 4, 0.06)[None], (o, 1, 1)))
+    uv = jnp.asarray(rng.uniform(0, 640, (o, n, 2)))
+    mask = jnp.asarray((rng.uniform(size=(o, n)) > 0.2).astype(float))
+
+    manifold = obund.make_manifold(pc, c)
+    tdim = manifold.tangent_dim
+
+    def res_local(delta):
+        return obund._residual(
+            PINHOLE, manifold.retract(x, delta), obj, uv, mask, b_se3_g,
+            cam_idx, pc, c,
+        )
+
+    jac_fwd = jax.jacfwd(res_local)(jnp.zeros(tdim, x.dtype))
+    jac_ana = obund._residual_jac_pinhole(x, obj, uv, mask, b_se3_g, cam_idx, pc, c)
+    scale = np.maximum(1.0, np.abs(np.asarray(jac_fwd)))
+    np.testing.assert_allclose(
+        np.asarray(jac_ana) / scale, np.asarray(jac_fwd) / scale, atol=1e-12
+    )
+
+
+def test_analytic_bundle_solver_matches_jacfwd_solver():
+    """Full bundle solve with the analytic Jacobian lands where the jacfwd
+    solve lands (same trajectory to roundoff), intrinsics free."""
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.04)
+    sim = synth.make_handeye_sequence(num_poses=10)
+    uv = synth.render_pixels(intr_gt, sim["c_se3_t"], obj)
+    o = uv.shape[0]
+    obj_b = np.tile(obj[None], (o, 1, 1))
+    cam_idx = np.zeros(o, int)
+    intr0 = intr_gt.copy()
+    intr0[:4] += [4.0, -3.0, 2.0, -2.0]
+    g0 = synth.euler_pose(0.11, -0.21, 0.16, [0.022, -0.032, 0.052])
+    b0 = synth.euler_pose(0.06, 0.02, -0.07, [0.41, -0.09, 0.19])
+    opts = BundleOptions(optimize_intrinsics=True)
+
+    a = optimize_bundle(obj_b, uv, sim["b_se3_g"], cam_idx, intr0[None],
+                        g0[None], b0, opts=opts, analytic_jac=True)
+    f = optimize_bundle(obj_b, uv, sim["b_se3_g"], cam_idx, intr0[None],
+                        g0[None], b0, opts=opts, analytic_jac=False)
+    assert a.core.success and f.core.success
+    np.testing.assert_allclose(a.cameras, f.cameras, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(a.g_se3_c, f.g_se3_c, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(a.b_se3_t, f.b_se3_t, rtol=0, atol=1e-9)
+    assert a.core.iterations == f.core.iterations
+    np.testing.assert_allclose(
+        a.core.covariance, f.core.covariance, rtol=1e-6, atol=1e-12
+    )
+
+
 def test_masked_padding_invariance():
     """Padded (mask=0) rows must be exactly equivalent to dropping them:
     same solution, same reported RMS, same variance-scaled covariance
