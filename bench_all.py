@@ -302,8 +302,19 @@ def main():
         res = CONFIGS[key]()
         results.append(res)
         print(json.dumps(res), flush=True)
+    # merge by metric so subset runs (BENCH_CONFIGS=...) update in place
+    # instead of clobbering the full table
+    merged = {}
+    try:
+        with open("BENCH_ALL.json") as f:
+            for entry in json.load(f):
+                merged[entry["metric"]] = entry
+    except (OSError, ValueError):
+        pass
+    for res in results:
+        merged[res["metric"]] = res
     with open("BENCH_ALL.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
 
 
 if __name__ == "__main__":

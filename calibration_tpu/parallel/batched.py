@@ -33,15 +33,15 @@ def _maybe_shard(args, mesh):
     return sh.shard_batch(args, mesh)
 
 
-# Measured crossover (TPU v5e, f64, bench problem shapes): hand-derived
-# analytic Jacobians beat jacfwd ~1.8x when the chip is latency-bound
-# (B=8: 68 vs 38 solves/s) but LOSE ~1.6x once the batch saturates the MXU
-# (B=256: 88 vs 144 solves/s) — jacfwd's tangent propagation lowers to
-# dot_generals that ride the MXU's bf16 f64-emulation, while the analytic
-# einsum chains are VPU elementwise work. Batched callers therefore
-# auto-select by batch size; single-problem callers (facades, CLIs) keep
-# analytic_jac=True.
-ANALYTIC_JAC_MAX_BATCH = 32
+# Measured A/B (TPU v5e, f64, bench problem shapes, analytic vs jacfwd
+# solves/sec): B=1 latency 61.1ms vs 68.8ms (analytic +11%), B=8 68 vs 73,
+# B=16 47 vs 53, B=32 66 vs 82, B=64 86 vs 115, B=256 88 vs 144. jacfwd's
+# tangent propagation lowers to dot_generals that ride the MXU's bf16
+# f64-emulation, so it wins at EVERY batched size; the analytic chain
+# (VPU elementwise) only wins the single-problem latency case. Batched
+# callers therefore default to jacfwd; single-problem callers (facades,
+# CLIs) keep analytic_jac=True.
+ANALYTIC_JAC_MAX_BATCH = 1
 
 
 def _resolve_analytic(analytic_jac, batch):

@@ -448,6 +448,55 @@ def test_estimate_and_optimize_handeye():
     assert synth.rot_err_deg(res.g_se3_c, sim["g_se3_c"]) < 1e-5
 
 
+def test_analytic_handeye_jacobian_matches_jacfwd():
+    """optim/handeye.py::_residual_jac must equal jacfwd of the retracted
+    AX=XB residual at zero tangent (incl. the J_l^-1(log M) rotation rows
+    and zero-weight filtered pairs)."""
+    import jax
+
+    from calibration_tpu.ops import handeye_linear as hel
+    from calibration_tpu.optim import handeye as oh
+
+    sim = synth.make_handeye_sequence(num_poses=8)
+    pairs = hel.build_all_pairs(
+        jnp.asarray(sim["b_se3_g"]), jnp.asarray(sim["c_se3_t"]), 0.5
+    )
+    pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
+    x = jnp.concatenate([
+        jnp.asarray(se3.rotmat_to_quat(jnp.asarray((sim["g_se3_c"] @ pert)[:3, :3]))),
+        jnp.asarray((sim["g_se3_c"] @ pert)[:3, 3]),
+    ])
+
+    def res_local(delta):
+        dq = se3.exp_quat(delta[:3])
+        qn = se3.quat_mul(x[:4], dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return oh._residual(jnp.concatenate([qn, x[4:] + delta[3:]]), pairs)
+
+    jac_fwd = jax.jacfwd(res_local)(jnp.zeros(6, x.dtype))
+    jac_ana = oh._residual_jac(x, pairs)
+    scale = np.maximum(1.0, np.abs(np.asarray(jac_fwd)))
+    np.testing.assert_allclose(
+        np.asarray(jac_ana) / scale, np.asarray(jac_fwd) / scale, atol=1e-11
+    )
+
+
+def test_analytic_handeye_solver_matches_jacfwd_solver():
+    sim = synth.make_handeye_sequence(num_poses=12)
+    pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
+    init = sim["g_se3_c"] @ pert
+    a = optimize_handeye(sim["b_se3_g"], sim["c_se3_t"], init, OptimOptions(),
+                         analytic_jac=True)
+    f = optimize_handeye(sim["b_se3_g"], sim["c_se3_t"], init, OptimOptions(),
+                         analytic_jac=False)
+    assert a.core.success and f.core.success
+    np.testing.assert_allclose(a.g_se3_c, f.g_se3_c, rtol=0, atol=1e-9)
+    assert a.core.iterations == f.core.iterations
+    np.testing.assert_allclose(
+        a.core.covariance, f.core.covariance, rtol=1e-6, atol=1e-12
+    )
+
+
 def test_optimize_bundle_single_camera():
     # perturb hand-eye + target pose, recover both (bundle_test.cpp:9-81)
     intr_gt = synth.default_camera()
