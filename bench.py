@@ -75,7 +75,14 @@ def make_problems(batch, views=10, rows=8, cols=11, noise=0.2, seed=7):
     return obj_b, uv, poses, intr
 
 
-def tpu_throughput(obj, uv, repeats=3):
+def tpu_throughput(obj, uv, repeats=3, make=None):
+    """Throughput on the base (obj, uv) problem set; accuracy outputs come
+    from the base set, but each TIMED repeat runs a genuinely distinct
+    same-shape dataset built by ``make(k)`` -> (obj, uv). The remote
+    execution layer memoizes identical (executable, input) pairs and
+    1e-9 eps-perturbations proved unreliable (a memo hit returned a stereo
+    batch in 1.4ms vs the real 800ms), so distinct data is the only honest
+    timing. make=None falls back to eps perturbation (single-chip smoke)."""
     import jax
     import jax.numpy as jnp
 
@@ -87,8 +94,9 @@ def tpu_throughput(obj, uv, repeats=3):
         core=OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
     )
     precision = os.environ.get("BENCH_PRECISION", "f64")
-    # auto: analytic Jacobians win when latency-bound (small batch), jacfwd
-    # wins once the MXU saturates (parallel/batched.py::ANALYTIC_JAC_MAX_BATCH)
+    # auto = jacfwd (measured winner at every size on this chip; see
+    # parallel/batched.py::ANALYTIC_JAC_MAX_BATCH); BENCH_ANALYTIC=1 forces
+    # the hand-derived-Jacobian variant for A/B runs
     env = os.environ.get("BENCH_ANALYTIC", "auto")
     if env == "auto":
         from calibration_tpu.parallel.batched import ANALYTIC_JAC_MAX_BATCH
@@ -119,21 +127,23 @@ def tpu_throughput(obj, uv, repeats=3):
     intr.block_until_ready()
     compile_and_first = time.time() - t0
     print(f"[bench] compile+first: {compile_and_first:.1f}s", file=sys.stderr)
+    intr_base, rms_base = np.asarray(intr), np.asarray(view_errors)
 
     times = []
     for i in range(repeats):
-        # perturb inputs per repeat: the remote execution layer memoizes
-        # identical (executable, args) calls, which would fake the timing
-        uv_r = uv_j + (i + 1) * 1e-9
+        if make is not None:
+            obj_r, uv_r = (jnp.asarray(a) for a in make(i + 1))
+        else:
+            obj_r, uv_r = obj_j, uv_j + (i + 1) * 1e-9
         t0 = time.time()
-        intr, cost, view_errors, cov = solve(obj_j, uv_r)
-        intr.block_until_ready()
+        out_i = solve(obj_r, uv_r)
+        out_i[0].block_until_ready()
         times.append(time.time() - t0)
     dt = min(times)
     batch = obj.shape[0]
-    rms = float(np.sqrt(np.mean(np.asarray(view_errors) ** 2)))
+    rms = float(np.sqrt(np.mean(rms_base**2)))
     print(f"[bench] tpu: {batch} solves in {dt:.3f}s, mean view RMS {rms:.4f}px", file=sys.stderr)
-    return batch / dt, rms, np.asarray(intr)
+    return batch / dt, rms, intr_base
 
 
 def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
@@ -199,7 +209,9 @@ def main():
     obj, uv, poses, intr_gt = make_problems(batch)
     if os.environ.get("BENCH_TRACE"):
         lm_trace_diagnostic(obj, uv, poses, intr_gt)
-    throughput, rms, intr = tpu_throughput(obj, uv)
+    throughput, rms, intr = tpu_throughput(
+        obj, uv, make=lambda k: make_problems(batch, seed=7 + k)[:2]
+    )
 
     cpu = cpu_baseline_throughput(obj, uv, poses, intr_gt)
     vs_baseline = (throughput / cpu) if cpu else 1.0

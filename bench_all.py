@@ -30,24 +30,26 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def timed_batch(fn, args, perturb_idx, repeats=3):
-    """Compile+first untimed, then min wall time over perturbed repeats (the
-    remote execution layer memoizes identical (executable, args) calls)."""
-    import jax
-    import jax.numpy as jnp
+def timed_batch(fn, args, make_args, repeats=3):
+    """Compile+warmup on the base ``args`` (whose result is returned for the
+    parity checks), then min wall time over ``repeats`` runs on DISTINCT
+    same-shape datasets from ``make_args(k)``.
 
-    args = list(args)
+    Distinct data is mandatory: the remote execution layer memoizes
+    identical (executable, input) pairs, and 1e-9 eps-perturbations proved
+    unreliable — a memo hit 'solved' a stereo batch in 1.4ms vs the real
+    800ms (round 2)."""
+    import jax
+
     t0 = time.time()
     out = fn(*args)
     jax.block_until_ready(out)
     _log(f"  compile+first: {time.time() - t0:.1f}s")
     times = []
-    for i in range(repeats):
-        args2 = list(args)
-        args2[perturb_idx] = jnp.asarray(args2[perturb_idx]) + (i + 1) * 1e-9
+    for k in range(1, repeats + 1):
+        a = make_args(k)
         t0 = time.time()
-        out = fn(*args2)
-        jax.block_until_ready(out)
+        jax.block_until_ready(fn(*a))
         times.append(time.time() - t0)
     return out, min(times)
 
@@ -79,7 +81,9 @@ def bench_homography():
     opts = OptimOptions(max_iterations=50, compute_covariance=False)
 
     fn = lambda s, d: batched.homography_batch(s, d, options=opts)
-    (out, hm, _, _), dt = timed_batch(fn, (src, dst), perturb_idx=1)
+    (out, hm, _, _), dt = timed_batch(
+        fn, (src, dst), lambda k: pb.homography_problems(b, seed=11 + k)[1:3]
+    )
     hm = np.asarray(hm)
 
     h0 = np.asarray(H.estimate_homography_dlt(jnp.asarray(src[:n_cpu]), jnp.asarray(dst[:n_cpu])))
@@ -103,7 +107,9 @@ def bench_intrinsics():
     b = int(os.environ.get("BENCH_BATCH", "256"))
     _log(f"[2 intrinsics] batch={b}")
     obj, uv, poses, intr_gt = headline.make_problems(b)
-    throughput, rms, intr = headline.tpu_throughput(obj, uv)
+    throughput, rms, intr = headline.tpu_throughput(
+        obj, uv, make=lambda k: headline.make_problems(b, seed=7 + k)[:2]
+    )
 
     n_cpu = 4
     x0s = [
@@ -141,8 +147,11 @@ def bench_extrinsics():
     p = pb.stereo_problems(b)
     opts = ExtrinsicOptions(core=OptimOptions(max_iterations=50, compute_covariance=False))
 
-    fn = lambda o, u: batched.extrinsics_batch(o, u, p["intr0"], p["c0"], p["r0"], opts=opts)
-    (out, intr, c_se3_r, r_se3_t, _, _), dt = timed_batch(fn, (p["obj"], p["uv"]), perturb_idx=1)
+    fn = lambda o, u, i0, c0, r0: batched.extrinsics_batch(o, u, i0, c0, r0, opts=opts)
+    unpack = lambda q: (q["obj"], q["uv"], q["intr0"], q["c0"], q["r0"])
+    (out, intr, c_se3_r, r_se3_t, _, _), dt = timed_batch(
+        fn, unpack(p), lambda k: unpack(pb.stereo_problems(b, seed=13 + k))
+    )
     c_se3_r = np.asarray(c_se3_r)
 
     cpu_res, cpu_dt = timed_cpu(
@@ -173,14 +182,16 @@ def bench_handeye():
     from calibration_tpu.optim import OptimOptions
     from calibration_tpu.parallel import batched
 
-    b = int(os.environ.get("BENCH_HANDEYE_BATCH", "1024"))
+    b = int(os.environ.get("BENCH_HANDEYE_BATCH", "256"))
     n_cpu = 16
     _log(f"[4 hand-eye] batch={b}")
     g_gt, bg, ct = pb.handeye_problems(b)
     opts = OptimOptions(max_iterations=50, compute_covariance=False)
 
     fn = lambda a, c: batched.handeye_batch(a, c, options=opts)
-    (out, pose, _, _), dt = timed_batch(fn, (bg, ct), perturb_idx=0)
+    (out, pose, _, _), dt = timed_batch(
+        fn, (bg, ct), lambda k: pb.handeye_problems(b, seed=17 + k)[1:3]
+    )
     pose = np.asarray(pose)
 
     dp = pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002])
@@ -211,13 +222,17 @@ def bench_bundle():
     o = p["bg"].shape[1]
     opts = BundleOptions(core=OptimOptions(max_iterations=50, compute_covariance=False))
     cam_idx = np.zeros((b, o), int)
-    intrs = np.tile(p["intr"][None, None], (b, 1, 1))
-    g0 = p["g0"][:, None]
 
-    fn = lambda obj, uv: batched.bundle_batch(
-        obj, uv, p["bg"], cam_idx, intrs, g0, p["b0"], opts=opts
+    fn = lambda obj, uv, bg, intrs, g0, b0: batched.bundle_batch(
+        obj, uv, bg, cam_idx, intrs, g0, b0, opts=opts
     )
-    (out, intr, g_se3_c, b_se3_t, _, _), dt = timed_batch(fn, (p["obj"], p["uv"]), perturb_idx=1)
+    unpack = lambda q: (
+        q["obj"], q["uv"], q["bg"],
+        np.tile(q["intr"][None, None], (b, 1, 1)), q["g0"][:, None], q["b0"],
+    )
+    (out, intr, g_se3_c, b_se3_t, _, _), dt = timed_batch(
+        fn, unpack(p), lambda k: unpack(pb.bundle_problems(b, seed=19 + k))
+    )
     g_se3_c = np.asarray(g_se3_c)
 
     cpu_res, cpu_dt = timed_cpu(
@@ -253,7 +268,10 @@ def bench_linescan():
     camera, obj, tgt_uv, laser_uv, plane_gt = pb.linescan_problems(b)
 
     fn = lambda c, o, tu, lu: batched.linescan_batch(c, o, tu, lu)
-    res, dt = timed_batch(fn, (camera, obj, tgt_uv, laser_uv), perturb_idx=3)
+    res, dt = timed_batch(
+        fn, (camera, obj, tgt_uv, laser_uv),
+        lambda k: pb.linescan_problems(b, seed=23 + k)[:4],
+    )
     plane = np.asarray(res.plane)
 
     cpu_res, cpu_dt = timed_cpu(

@@ -306,11 +306,16 @@ class TorchResidual:
 
 
 def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
-    """Joint multi-camera extrinsics refinement, gauge-fixed at cam0
-    (optimize_extrinsics semantics, src/estimation/optim/extrinsics.cpp).
+    """Joint multi-camera extrinsics refinement with the REFERENCE gauge
+    (optimize_extrinsics semantics, src/estimation/optim/extrinsics.cpp:
+    cam0 pose constant, first target pose constant because intrinsics are
+    free, skew frozen). Without the target-0/skew freezes the planar
+    fx/depth valley lets the CPU land at a different equally-optimal
+    point, which shows up as ~0.4 deg of spurious rel-pose "parity" error.
 
     obj/uv: (V, C, N, 2); intr0: (C, 10); c0: (C, 4, 4); r0: (V, 4, 4).
-    x = [cam pose (w, t) for c >= 1, target pose (w, t) per view, intr per cam].
+    x = [cam pose (w, t) for c >= 1, target pose (w, t) for v >= 1,
+    intr-without-skew (9) per cam].
     """
     from scipy.optimize import least_squares
 
@@ -318,6 +323,8 @@ def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
     v, c, n = obj.shape[0], obj.shape[1], obj.shape[2]
     obj_t = torch.as_tensor(np.concatenate([obj, np.zeros((v, c, n, 1))], -1))
     uv_t = torch.as_tensor(np.array(uv, float))
+    view0 = torch.as_tensor(np.array(r0[0], float))
+    skews = torch.as_tensor(np.asarray(intr0, float)[:, 4])
 
     def unpack(x):
         off = 0
@@ -329,15 +336,18 @@ def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
                  torch.tensor([[0.0, 0, 0, 1]], dtype=x.dtype)], 0)
             cams.append(m)
             off += 6
-        views = []
-        for _ in range(v):
+        views = [view0.to(x.dtype)]
+        for _ in range(v - 1):
             w, t = x[off : off + 3], x[off + 3 : off + 6]
             m = torch.cat(
                 [torch.cat([_t_so3_exp(torch, w), t[:, None]], 1),
                  torch.tensor([[0.0, 0, 0, 1]], dtype=x.dtype)], 0)
             views.append(m)
             off += 6
-        intrs = x[off:].reshape(c, 10)
+        i9 = x[off:].reshape(c, 9)
+        intrs = torch.cat(
+            [i9[:, :4], skews.to(x.dtype)[:, None], i9[:, 4:]], dim=1
+        )
         return cams, views, intrs
 
     def residual(x):
@@ -354,10 +364,11 @@ def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
     for ci in range(1, c):
         w, t = pose_to_w_t(c0[ci])
         x0 += [w, t]
-    for vi in range(v):
+    for vi in range(1, v):
         w, t = pose_to_w_t(r0[vi])
         x0 += [w, t]
-    x0.append(np.asarray(intr0).reshape(-1))
+    i0 = np.asarray(intr0, float)
+    x0.append(np.delete(i0, 4, axis=1).reshape(-1))
     x0 = np.concatenate([np.ravel(a) for a in x0])
 
     tr = TorchResidual(residual)

@@ -20,6 +20,13 @@ def main(argv=None) -> int:
         "--features", required=True, nargs="+", help="Detections JSON (repeat per camera)"
     )
     parser.add_argument("-o", "--output", default="", help="Write calibration report JSON")
+    parser.add_argument(
+        "--fleet",
+        action="store_true",
+        help="Solve all cameras in one batched device dispatch per shape "
+        "bucket (PlanarIntrinsicCalibrationFacade.calibrate_many) instead "
+        "of the reference's serial per-camera loop",
+    )
     args = parser.parse_args(argv)
 
     from ..io import jsonio
@@ -44,8 +51,7 @@ def main(argv=None) -> int:
             )
 
         facade = PlanarIntrinsicCalibrationFacade()
-        entries = []
-        results_json = []
+        jobs = []
         for cam_idx, cam_cfg in enumerate(cfg.cameras):
             fpath = args.features[0] if len(args.features) == 1 else args.features[cam_idx]
             print(f"[{cam_cfg.camera_id}] Loading detections from {fpath}", file=sys.stderr)
@@ -57,7 +63,22 @@ def main(argv=None) -> int:
                 f"[{cam_cfg.camera_id}] Found {len(detections.images)} image detections",
                 file=sys.stderr,
             )
-            result = facade.calibrate(cfg, cam_cfg, detections)
+            jobs.append((cam_cfg, detections))
+
+        if args.fleet:
+            fleet_out = facade.calibrate_many(cfg, jobs)
+        else:
+            fleet_out = None
+
+        entries = []
+        results_json = []
+        for cam_idx, (cam_cfg, detections) in enumerate(jobs):
+            if fleet_out is not None:
+                result = fleet_out[cam_idx]
+                if isinstance(result, Exception):
+                    raise result
+            else:
+                result = facade.calibrate(cfg, cam_cfg, detections)
             print_calibration_summary(sys.stdout, cam_cfg, result)
             entries.append((cam_cfg, detections, result))
             results_json.append(

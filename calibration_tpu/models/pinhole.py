@@ -79,8 +79,10 @@ def project_normalized(intr, xy):
 def project_point_jacobians(intr, xyz):
     """Analytic per-point Jacobians of ``project`` — the hand-derived chain
     rule of denormalize(distort(hnormalized(xyz))) (pinhole.h:102-107 /
-    distortion.h:93-116), used by the Schur LM engines in place of a
-    jacfwd tangent sweep (a large FLOP saving under f64 emulation).
+    distortion.h:93-116), available to the LM engines in place of a
+    jacfwd tangent sweep (~1/16 the arithmetic, though jacfwd measures
+    faster on TPU v5e where tangent propagation rides the MXU — see
+    parallel/batched.py::ANALYTIC_JAC_MAX_BATCH).
 
     intr: (10,); xyz: (N, 3) camera-frame points. Returns
     (j_intr (N, 2, 10), h (N, 2, 3)) with j_intr = d(u, v)/d intr in the

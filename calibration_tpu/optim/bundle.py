@@ -129,7 +129,7 @@ def optimize_bundle_device(
     model: CameraModelSpec = PINHOLE,
     opts: BundleOptions | None = None,
     precision: str = "f64",
-    analytic_jac: bool = True,
+    analytic_jac: bool = False,
 ):
     """Pure-jnp core.
 
@@ -140,9 +140,9 @@ def optimize_bundle_device(
     precision="mixed": float32 LM iterations then a float64 polish (see
     optimize_intrinsics_device).
 
-    analytic_jac: hand-derived tangent Jacobian for the pinhole model
-    (identical to jacfwd, a fraction of the (C*pc+6C+6)-tangent cost in
-    f64 emulation); non-pinhole models fall back to jacfwd.
+    analytic_jac: opt-in hand-derived tangent Jacobian for the pinhole
+    model (identical to jacfwd; measured slower on TPU v5e — see
+    parallel/batched.py); non-pinhole models use jacfwd.
     """
     opts = opts or BundleOptions()
     o_cnt, n = obj_xy.shape[0], obj_xy.shape[1]
@@ -246,7 +246,7 @@ def optimize_bundle(
     mask=None,
     model: CameraModelSpec = PINHOLE,
     opts: BundleOptions | None = None,
-    analytic_jac: bool = True,
+    analytic_jac: bool = False,
 ):
     opts = opts or BundleOptions()
     initial_cameras = jnp.asarray(initial_cameras)

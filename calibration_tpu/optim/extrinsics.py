@@ -165,7 +165,7 @@ def optimize_extrinsics_device(
     model: CameraModelSpec = PINHOLE,
     opts: ExtrinsicOptions | None = None,
     solver: str = "schur",
-    analytic_jac: bool = True,
+    analytic_jac: bool = False,
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, C, N, 2); init_intrs: (C, pc);
     init_c_se3_r: (C, 4, 4); init_r_se3_t: (V, 4, 4); mask: (V, C, N).
@@ -175,9 +175,9 @@ def optimize_extrinsics_device(
     C intrinsics + C camera quaternion poses; Huber blocks per (view, cam)
     pair). "dense" falls back to the generic engine.
 
-    analytic_jac: hand-derived per-view Jacobians for the pinhole model in
-    the Schur engine (identical to jacfwd, fraction of the f64 cost);
-    non-pinhole models fall back to jacfwd.
+    analytic_jac: opt-in hand-derived per-view Jacobians for the pinhole
+    model in the Schur engine (identical to jacfwd; measured slower on
+    TPU v5e — see parallel/batched.py); non-pinhole models use jacfwd.
     """
     opts = opts or ExtrinsicOptions()
     v, c, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
@@ -291,7 +291,7 @@ def optimize_extrinsics(
     model: CameraModelSpec = PINHOLE,
     opts: ExtrinsicOptions | None = None,
     solver: str = "schur",
-    analytic_jac: bool = True,
+    analytic_jac: bool = False,
 ):
     opts = opts or ExtrinsicOptions()
     init_cameras = jnp.asarray(init_cameras)

@@ -74,8 +74,10 @@ def _view_residual_jac_pinhole(intr, quat_i, tran_i, obj_i, uv_i, mask_i):
     jacfwd of the Schur engine's retracted residual at zero tangent
     (equivalence-tested in tests/test_lm_solvers.py). Hand-derived chain
     rule of project(intr, R exp(omega^) p + t + dt): the same ~30-flop
-    kernel Ceres differentiates with Jets (SURVEY.md section 3.5), at a
-    fraction of the 16-tangent jacfwd cost in f64 emulation.
+    kernel Ceres differentiates with Jets (SURVEY.md section 3.5) with
+    ~1/16 the arithmetic of the 16-tangent jacfwd — but measured SLOWER
+    on this chip (jacfwd rides the MXU bf16 f64-emulation; see
+    parallel/batched.py::ANALYTIC_JAC_MAX_BATCH), so it is opt-in.
 
     Rotation convention: right-multiplied quaternion retraction
     q (x) exp_quat(omega) == R exp(omega^), so d p_c / d omega = -R [p]_x.
@@ -130,14 +132,15 @@ def optimize_intrinsics_device(
     precision: str = "f64",
     view_valid=None,
     solver: str = "schur",
-    analytic_jac: bool = True,
+    analytic_jac: bool = False,
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, N, 2); init_intr: (pc,);
     init_poses: (V, 4, 4); mask: (V, N).
 
-    analytic_jac: use the hand-derived per-view Jacobian for the pinhole
-    model in the Schur engine (identical values to jacfwd, fraction of the
-    cost); non-pinhole models always fall back to jacfwd.
+    analytic_jac: opt-in hand-derived per-view Jacobian for the pinhole
+    model in the Schur engine (identical values to jacfwd; measured slower
+    on TPU v5e where jacfwd rides the MXU f64-emulation — see
+    parallel/batched.py); non-pinhole models always use jacfwd.
 
     precision="mixed" runs most LM iterations in float32 (native TPU speed;
     the Jacobi-scaled normal equations keep the f32 Cholesky conditioned)
@@ -301,7 +304,7 @@ def optimize_intrinsics(
     precision: str = "f64",
     view_valid=None,
     solver: str = "schur",
-    analytic_jac: bool = True,
+    analytic_jac: bool = False,
 ):
     """Host-facing wrapper (optimize_intrinsics, intrinsics.cpp:99-120).
 

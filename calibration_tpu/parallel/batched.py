@@ -33,15 +33,18 @@ def _maybe_shard(args, mesh):
     return sh.shard_batch(args, mesh)
 
 
-# Measured A/B (TPU v5e, f64, bench problem shapes, analytic vs jacfwd
-# solves/sec): B=1 latency 61.1ms vs 68.8ms (analytic +11%), B=8 68 vs 73,
-# B=16 47 vs 53, B=32 66 vs 82, B=64 86 vs 115, B=256 88 vs 144. jacfwd's
-# tangent propagation lowers to dot_generals that ride the MXU's bf16
-# f64-emulation, so it wins at EVERY batched size; the analytic chain
-# (VPU elementwise) only wins the single-problem latency case. Batched
-# callers therefore default to jacfwd; single-problem callers (facades,
-# CLIs) keep analytic_jac=True.
-ANALYTIC_JAC_MAX_BATCH = 1
+# Measured A/B with memoization-proof timing (distinct datasets per timed
+# repeat; TPU v5e, f64, bench problem shapes, analytic vs jacfwd): B=1
+# latency 57.4 vs 53.1 ms, B=8 67.8 vs 72.6 solves/s, B=256 72.5 vs ~115
+# solves/s. jacfwd's tangent propagation lowers to dot_generals that ride
+# the MXU's bf16 f64-emulation, so it beats the hand-derived analytic
+# chain (VPU elementwise work) at EVERY size for the reprojection solvers
+# — analytic_jac defaults False everywhere; the analytic kernels remain
+# available (equivalence-tested) for attachments where the VPU/MXU balance
+# differs. Exception: hand-eye keeps analytic ON (82.0 vs 77.3 rigs/s at
+# B=256, and it shrinks while-loop temps ~6x so B=1024 fits HBM where
+# jacfwd OOMs).
+ANALYTIC_JAC_MAX_BATCH = 0
 
 
 def _resolve_analytic(analytic_jac, batch):

@@ -374,3 +374,35 @@ def test_report_surfaces_homography_diagnostics():
     assert diag["inlier_count"] == obj.shape[0]
     assert len(diag["inliers"]) >= obj.shape[0]
     assert diag["symmetric_rms_px"] < 0.5
+
+
+def test_planar_intrinsics_cli_fleet_matches_serial(tmp_path):
+    """--fleet (calibrate_many, one dispatch per shape bucket) must produce
+    the same cameras as the serial per-camera CLI path on the shipped
+    two-camera example data."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    data = Path(__file__).resolve().parent.parent / "examples" / "data"
+    cfg = data / "planar_intrinsics_config.json"
+    feats = [str(data / "detections_cam0.json"), str(data / "detections_cam1.json")]
+    if not cfg.exists():
+        pytest.skip("examples/data not generated (run examples/generate_synthetic.py)")
+
+    from calibration_tpu.apps import planar_intrinsics as app
+
+    serial_out = tmp_path / "serial.json"
+    fleet_out = tmp_path / "fleet.json"
+    assert app.main(["--config", str(cfg), "--features", *feats, "-o", str(serial_out)]) == 0
+    assert app.main(
+        ["--config", str(cfg), "--features", *feats, "-o", str(fleet_out), "--fleet"]
+    ) == 0
+
+    s = json.loads(serial_out.read_text())
+    f = json.loads(fleet_out.read_text())
+    assert len(f["results"]) == 2
+    for rs, rf in zip(s["results"], f["results"]):
+        np.testing.assert_allclose(rf["camera"], rs["camera"], rtol=0, atol=5e-7)
+        assert rf["used_views"] == rs["used_views"]
