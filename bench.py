@@ -98,12 +98,9 @@ def tpu_throughput(obj, uv, repeats=3, make=None):
     # parallel/batched.py::ANALYTIC_JAC_MAX_BATCH); BENCH_ANALYTIC=1 forces
     # the hand-derived-Jacobian variant for A/B runs
     env = os.environ.get("BENCH_ANALYTIC", "auto")
-    if env == "auto":
-        from calibration_tpu.parallel.batched import ANALYTIC_JAC_MAX_BATCH
+    from calibration_tpu.parallel.batched import _resolve_analytic
 
-        analytic = obj.shape[0] <= ANALYTIC_JAC_MAX_BATCH
-    else:
-        analytic = env != "0"
+    analytic = _resolve_analytic(None if env == "auto" else env != "0", obj.shape[0])
 
     @jax.jit
     def solve(obj, uv):
@@ -209,8 +206,12 @@ def main():
     obj, uv, poses, intr_gt = make_problems(batch)
     if os.environ.get("BENCH_TRACE"):
         lm_trace_diagnostic(obj, uv, poses, intr_gt)
+    # repeat seeds salted per process: the execution-layer memo cache
+    # persists across runs (see bench_all.repeat_seed)
+    from bench_all import repeat_seed
+
     throughput, rms, intr = tpu_throughput(
-        obj, uv, make=lambda k: make_problems(batch, seed=7 + k)[:2]
+        obj, uv, make=lambda k: make_problems(batch, seed=repeat_seed(7, k))[:2]
     )
 
     cpu = cpu_baseline_throughput(obj, uv, poses, intr_gt)

@@ -30,6 +30,19 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# The memo cache lives in the long-running execution service and persists
+# ACROSS benchmark processes, so timed-repeat datasets must differ between
+# runs too, not just within one run — salt the repeat seeds per process.
+# (The base dataset keeps its fixed seed so parity checks stay reproducible.)
+RUN_SALT = int(os.environ.get("BENCH_SALT", str(os.getpid() * 1000 + int(time.time()) % 1000)))
+
+
+def repeat_seed(base, k):
+    """Seed for timed repeat k: differs from every base seed and from other
+    runs' repeats (RUN_SALT is per-process unless BENCH_SALT pins it)."""
+    return 1000 + base + RUN_SALT % 1_000_000_007 + k
+
+
 def timed_batch(fn, args, make_args, repeats=3):
     """Compile+warmup on the base ``args`` (whose result is returned for the
     parity checks), then min wall time over ``repeats`` runs on DISTINCT
@@ -38,7 +51,8 @@ def timed_batch(fn, args, make_args, repeats=3):
     Distinct data is mandatory: the remote execution layer memoizes
     identical (executable, input) pairs, and 1e-9 eps-perturbations proved
     unreliable — a memo hit 'solved' a stereo batch in 1.4ms vs the real
-    800ms (round 2)."""
+    800ms (round 2). Callers must build make_args(k) seeds via
+    ``repeat_seed`` so repeats differ across runs as well."""
     import jax
 
     t0 = time.time()
@@ -82,7 +96,7 @@ def bench_homography():
 
     fn = lambda s, d: batched.homography_batch(s, d, options=opts)
     (out, hm, _, _), dt = timed_batch(
-        fn, (src, dst), lambda k: pb.homography_problems(b, seed=11 + k)[1:3]
+        fn, (src, dst), lambda k: pb.homography_problems(b, seed=repeat_seed(11, k))[1:3]
     )
     hm = np.asarray(hm)
 
@@ -108,7 +122,7 @@ def bench_intrinsics():
     _log(f"[2 intrinsics] batch={b}")
     obj, uv, poses, intr_gt = headline.make_problems(b)
     throughput, rms, intr = headline.tpu_throughput(
-        obj, uv, make=lambda k: headline.make_problems(b, seed=7 + k)[:2]
+        obj, uv, make=lambda k: headline.make_problems(b, seed=repeat_seed(7, k))[:2]
     )
 
     n_cpu = 4
@@ -150,7 +164,7 @@ def bench_extrinsics():
     fn = lambda o, u, i0, c0, r0: batched.extrinsics_batch(o, u, i0, c0, r0, opts=opts)
     unpack = lambda q: (q["obj"], q["uv"], q["intr0"], q["c0"], q["r0"])
     (out, intr, c_se3_r, r_se3_t, _, _), dt = timed_batch(
-        fn, unpack(p), lambda k: unpack(pb.stereo_problems(b, seed=13 + k))
+        fn, unpack(p), lambda k: unpack(pb.stereo_problems(b, seed=repeat_seed(13, k)))
     )
     c_se3_r = np.asarray(c_se3_r)
 
@@ -190,7 +204,7 @@ def bench_handeye():
 
     fn = lambda a, c: batched.handeye_batch(a, c, options=opts)
     (out, pose, _, _), dt = timed_batch(
-        fn, (bg, ct), lambda k: pb.handeye_problems(b, seed=17 + k)[1:3]
+        fn, (bg, ct), lambda k: pb.handeye_problems(b, seed=repeat_seed(17, k))[1:3]
     )
     pose = np.asarray(pose)
 
@@ -231,7 +245,7 @@ def bench_bundle():
         np.tile(q["intr"][None, None], (b, 1, 1)), q["g0"][:, None], q["b0"],
     )
     (out, intr, g_se3_c, b_se3_t, _, _), dt = timed_batch(
-        fn, unpack(p), lambda k: unpack(pb.bundle_problems(b, seed=19 + k))
+        fn, unpack(p), lambda k: unpack(pb.bundle_problems(b, seed=repeat_seed(19, k)))
     )
     g_se3_c = np.asarray(g_se3_c)
 
@@ -270,7 +284,7 @@ def bench_linescan():
     fn = lambda c, o, tu, lu: batched.linescan_batch(c, o, tu, lu)
     res, dt = timed_batch(
         fn, (camera, obj, tgt_uv, laser_uv),
-        lambda k: pb.linescan_problems(b, seed=23 + k)[:4],
+        lambda k: pb.linescan_problems(b, seed=repeat_seed(23, k))[:4],
     )
     plane = np.asarray(res.plane)
 
@@ -327,7 +341,7 @@ def main():
         with open("BENCH_ALL.json") as f:
             for entry in json.load(f):
                 merged[entry["metric"]] = entry
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, KeyError):
         pass
     for res in results:
         merged[res["metric"]] = res

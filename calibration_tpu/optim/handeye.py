@@ -41,12 +41,16 @@ def _jl_inv(phi):
     """Inverse left Jacobian of SO(3) at rotation vector phi: (..., 3) ->
     (..., 3, 3). J_l^-1 = I - [phi]_x/2 + c [phi]_x^2 with
     c = 1/theta^2 - (1 + cos)/(2 theta sin); series 1/12 + theta^2/720
-    below the switch point (exact to f64 roundoff there)."""
+    below the switch point (exact to f64 roundoff there). Trig via
+    ops/fmath — small-array backend sin/cos is only f32-accurate on this
+    toolchain (CLAUDE.md), and P can be 1 for a two-pose sequence."""
+    from ..ops import fmath
+
     theta2 = jnp.sum(phi * phi, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, 1e-300))
     small = theta < 1e-4
     theta_safe = jnp.where(small, 1.0, theta)
-    s, co = jnp.sin(theta_safe), jnp.cos(theta_safe)
+    s, co = fmath.sincos(theta_safe)
     c = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
