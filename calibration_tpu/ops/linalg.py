@@ -53,8 +53,70 @@ def svd_lstsq(a, b, rcond: float = _SVD_RCOND):
     return jnp.einsum("...ij,...i->...j", vt, utb * s_inv)
 
 
+# Batched tiny SPD solves dominate LM iteration latency on this attachment:
+# XLA:TPU lowers jnp.linalg.cholesky / triangular_solve for small n to
+# column-loop kernels whose per-op dispatch cost dwarfs the ~100 flops of a
+# 6x6 factorization (measured: the damped 6x6/10x10 stage was 30% of a
+# B=256 intrinsics LM iteration, benchmarks/exp_profile_iter.py). For
+# static n <= _UNROLL_MAX the Cholesky-Crout recurrence is emitted as fully
+# unrolled elementwise ops instead — XLA fuses them into a handful of
+# kernels over the batch dims. Same math as Cholesky+cho_solve to roundoff.
+_UNROLL_MAX = 12
+
+
+def _chol_unrolled(a, n):
+    """Lower-triangular Cholesky factors as an n x n list of batch scalars."""
+    l = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for j in range(n):
+        s = a[..., j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        d = jnp.sqrt(s)
+        l[j][j] = d
+        inv_diag[j] = 1.0 / d
+        for i in range(j + 1, n):
+            s2 = a[..., i, j]
+            for k in range(j):
+                s2 = s2 - l[i][k] * l[j][k]
+            l[i][j] = s2 * inv_diag[j]
+    return l, inv_diag
+
+
+def _chol_solve_vec(l, inv_diag, bs, n):
+    """Solve L L^T x = b for one RHS given as a list of batch scalars."""
+    y = []
+    for i in range(n):
+        s = bs[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y.append(s * inv_diag[i])
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s * inv_diag[i]
+    return x
+
+
 def spd_solve(a, b):
-    """Solve SPD system via Cholesky + triangular solves (TPU-f64 safe)."""
+    """Solve SPD system via Cholesky (TPU-f64 safe).
+
+    Small static n unrolls to fused elementwise ops (see _UNROLL_MAX note);
+    larger systems use the XLA cholesky + triangular-solve kernels.
+    """
+    n = a.shape[-1]
+    if n <= _UNROLL_MAX:
+        l, inv_diag = _chol_unrolled(a, n)
+        if b.ndim == a.ndim:  # matrix RHS (..., n, m)
+            cols = []
+            for c in range(b.shape[-1]):
+                bs = [b[..., i, c] for i in range(n)]
+                cols.append(jnp.stack(_chol_solve_vec(l, inv_diag, bs, n), -1))
+            return jnp.stack(cols, -1)
+        bs = [b[..., i] for i in range(n)]
+        return jnp.stack(_chol_solve_vec(l, inv_diag, bs, n), -1)
     from jax.scipy.linalg import cho_solve
 
     low = jnp.linalg.cholesky(a)
@@ -62,7 +124,38 @@ def spd_solve(a, b):
 
 
 def spd_inverse(a):
-    """Inverse of an SPD matrix via Cholesky."""
+    """Inverse of an SPD matrix via Cholesky.
+
+    Small n: unrolled L inverse then A^-1 = L^-T L^-1 (fused elementwise);
+    larger: XLA cholesky solve against I.
+    """
+    n = a.shape[-1]
+    if n <= _UNROLL_MAX:
+        l, inv_diag = _chol_unrolled(a, n)
+        # forward-substitute L W = I column by column -> W = L^-1
+        w = [[None] * n for _ in range(n)]  # w[i][c] = (L^-1)[i, c]
+        for c in range(n):
+            for i in range(n):
+                if i < c:
+                    w[i][c] = None
+                    continue
+                s = jnp.ones_like(l[0][0]) if i == c else jnp.zeros_like(l[0][0])
+                for k in range(c, i):
+                    if w[k][c] is not None:
+                        s = s - l[i][k] * w[k][c]
+                w[i][c] = s * inv_diag[i]
+        # A^-1[r, c] = sum_k W[k][r] * W[k][c] (k >= max(r, c))
+        rows = []
+        for r in range(n):
+            cols = []
+            for c in range(n):
+                s = None
+                for k in range(max(r, c), n):
+                    term = w[k][r] * w[k][c]
+                    s = term if s is None else s + term
+                cols.append(s)
+            rows.append(jnp.stack(cols, -1))
+        return jnp.stack(rows, -2)
     eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)
     return spd_solve(a, eye)
 

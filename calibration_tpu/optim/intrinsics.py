@@ -196,6 +196,24 @@ def optimize_intrinsics_device(
         gmask = jnp.asarray(free[:pc], x0.dtype)
         lower_g = None if lower is None else lower[:pc]
         intr_c, quats_c, trans_c = jnp.asarray(init_intr), quats, trans
+        if precision == "mixed_jac":
+            # f32 Jacobian/gram phase (f64 iterate + cost — every accepted
+            # step is a true f64 descent), then a short full-f64 polish to
+            # the caller's epsilon. The f32 phase moves the per-iteration
+            # FLOPs bulk (jacfwd tangents + gram einsums) from bf16 f64
+            # -emulation to native f32 MXU throughput.
+            coarse = dataclasses.replace(
+                opts.core, epsilon=max(1e-7, opts.core.epsilon),
+                max_iterations=min(30, opts.core.max_iterations),
+            )
+            s32 = lm_schur.lm_core_schur(
+                res_view, intr_c, quats_c, trans_c,
+                (obj_xy, img_uv, mask),
+                options=coarse, g_free=gmask, view_valid=view_valid,
+                lower_g=lower_g, jac_view_fn=jac_view,
+                jac_dtype=jnp.float32,
+            )
+            intr_c, quats_c, trans_c = s32.xg, s32.quats, s32.trans
         if precision == "mixed":
             coarse = dataclasses.replace(
                 opts.core, epsilon=max(1e-5, opts.core.epsilon),

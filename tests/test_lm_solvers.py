@@ -159,6 +159,33 @@ def test_optimize_intrinsics_recovery():
     assert res.core.covariance.shape == (10 + 7 * 8, 10 + 7 * 8)
 
 
+def test_mixed_jac_precision_matches_f64():
+    """precision="mixed_jac" (f32 Jacobian/gram phase + f64 polish) must
+    land on the f64 solution: the f32 phase only approximates step
+    DIRECTIONS (acceptance stays f64), and the polish runs full f64 to the
+    caller's epsilon. Gate: same final cost to 1e-9 rel (the same-minimum
+    proof); params to 5e-4 — the fx/k3/depth ambiguity valley is flat at
+    that scale, so two converged trajectories legitimately land ~1e-4
+    apart in parameters while agreeing in cost to 1e-9 (same valley
+    geometry as the bench_all cost-parity gate)."""
+    rng = np.random.default_rng(13)
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(8)
+    uv = synth.render_pixels(intr_gt, poses, obj, noise=0.2, rng=rng)
+    obj_b = np.tile(obj[None], (8, 1, 1))
+
+    intr0 = intr_gt.copy()
+    intr0[:4] += [8.0, -6.0, 4.0, -3.0]
+    intr0[5:] = 0.0
+    opts = IntrinsicsOptimOptions()
+    f64 = optimize_intrinsics(obj_b, uv, intr0, poses, opts=opts)
+    mj = optimize_intrinsics(obj_b, uv, intr0, poses, opts=opts, precision="mixed_jac")
+    assert f64.core.success and mj.core.success
+    np.testing.assert_allclose(mj.core.final_cost, f64.core.final_cost, rtol=1e-9)
+    np.testing.assert_allclose(mj.camera, f64.camera, rtol=0, atol=5e-4)
+
+
 def test_schur_solver_matches_dense():
     """The Schur engine is exact block elimination of the same damped
     system, so it must land on the same camera as the dense engine (to
