@@ -24,9 +24,15 @@ class CameraModelSpec:
     idx_fy: int
     idx_skew: int
     project: Callable  # (intr, xyz[...,3]) -> uv[...,2]
-    unproject: Callable  # (intr, uv[...,2]) -> xy[...,2]
+    unproject: Callable  # (intr, uv[...,2]) -> model-native xy[...,2]
     apply_intrinsics: Callable  # pixel -> normalized
     remove_intrinsics: Callable  # normalized -> pixel
+    # pixel -> z=1 normalized camera-frame xy (ray/ray_z) — the
+    # model-GENERIC representation for 3D geometry (line-scan, plane
+    # fitting). Identical to ``unproject`` for pinhole; for tilted-sensor
+    # models ``unproject`` is in sensor-plane coords and this converts
+    # through the ray (scheimpflug.unproject_normalized docstring).
+    unproject_normalized: Callable
 
 
 PINHOLE = CameraModelSpec(
@@ -39,6 +45,7 @@ PINHOLE = CameraModelSpec(
     unproject=pinhole.unproject,
     apply_intrinsics=pinhole.apply_intrinsics,
     remove_intrinsics=pinhole.remove_intrinsics,
+    unproject_normalized=pinhole.unproject,
 )
 
 SCHEIMPFLUG = CameraModelSpec(
@@ -51,6 +58,7 @@ SCHEIMPFLUG = CameraModelSpec(
     unproject=scheimpflug.unproject,
     apply_intrinsics=scheimpflug.apply_intrinsics,
     remove_intrinsics=scheimpflug.remove_intrinsics,
+    unproject_normalized=scheimpflug.unproject_normalized,
 )
 
 MODELS = {m.name: m for m in (PINHOLE, SCHEIMPFLUG)}

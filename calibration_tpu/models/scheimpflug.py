@@ -89,6 +89,20 @@ def unproject(intr, pixel):
     return jnp.stack([dxy[..., 0] + mx0, dxy[..., 1] + my0], axis=-1)
 
 
+def unproject_normalized(intr, pixel):
+    """Pixel -> z=1 normalized camera-frame coordinates (ray / ray_z).
+
+    ``unproject`` returns TILTED-SENSOR-plane coordinates (mx, my) whose 3D
+    ray is ``mx*axis + my*base + normal`` — NOT the (x, y, 1) ray that
+    (mx, my, 1) would suggest. Model-generic geometry (the line-scan
+    target-pose/laser triangulation, linescan.h:66-69, 84) needs the z=1
+    representation, so this composes the plane coords with
+    :func:`plane_point_to_ray` and dehomogenizes.
+    """
+    ray = plane_point_to_ray(intr, unproject(intr, pixel))
+    return ray[..., :2] / ray[..., 2:3]
+
+
 def apply_intrinsics(intr, pixel):
     return pinhole.apply_intrinsics(base_of(intr), pixel)
 

@@ -4,7 +4,9 @@ from .batched import (
     handeye_batch,
     homography_batch,
     intrinsics_batch,
+    intrinsics_facade_batch,
     linescan_batch,
+    linescan_ransac_batch,
     planar_pose_batch,
     reprojection_rms_batch,
 )

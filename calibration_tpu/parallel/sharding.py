@@ -106,8 +106,14 @@ def pad_batch(tree, multiple: int):
     if target == b:
         return tree, b
 
+    reps = np.concatenate([np.arange(b), np.zeros(target - b, int)])
+
     def pad(x):
-        reps = np.concatenate([np.arange(b), np.zeros(target - b, int)])
-        return jax.numpy.asarray(x)[reps]
+        # plain fancy indexing: numpy leaves stay host-side numpy (the
+        # shard-path discipline — never commit through the default client),
+        # jax leaves gather on their own device
+        if isinstance(x, jax.Array):
+            return x[reps]
+        return np.asarray(x)[reps]
 
     return jax.tree_util.tree_map(pad, tree), b

@@ -121,6 +121,14 @@ class IntrinsicCalibrationOutputs:
         default_factory=lambda: np.zeros((0, 0), bool)
     )
     view_inlier_counts: List[int] = dataclasses.field(default_factory=list)
+    # fleet-path QA: per-view reprojection RMS recomputed INDEPENDENTLY of
+    # the solver through the fused f32 scoring kernel
+    # (ops.pallas_kernels.projection_residuals via
+    # parallel.reprojection_rms_batch) — an integrity check on the reported
+    # view_errors; rms_check_warnings counts views where the two disagree
+    # beyond f32 scoring noise (5e-3 px).
+    view_rms_check: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    rms_check_warnings: int = 0
 
     @property
     def camera(self) -> np.ndarray:
@@ -395,6 +403,19 @@ class PlanarIntrinsicCalibrationFacade:
                 model_name=model.name,
             )
             lm_out, intr_b, poses_b, view_err_b, cov_b, cov_ok_b = refine_out
+            if model.param_count == 10:
+                # independent f32 reprojection-RMS recompute of the whole
+                # bucket in one dispatch (see view_rms_check docstring)
+                from ...parallel.batched import reprojection_rms_batch
+
+                rms_chk_b = np.asarray(
+                    reprojection_rms_batch(
+                        np.asarray(poses_b), np.asarray(intr_b), obj_b, uv_b,
+                        mask_b * vv_b[..., None],
+                    )
+                )
+            else:
+                rms_chk_b = None
             kmtx_b = np.asarray(seed.kmtx)
             k_ok_b = np.asarray(seed.ok)
             h_ok_b = np.asarray(seed.h_ok)
@@ -441,6 +462,13 @@ class PlanarIntrinsicCalibrationFacade:
                     c_se3_t=np.asarray(poses_b[j][: p.v_real]),
                     view_errors=np.asarray(view_err_b[j][: p.v_real]),
                 )
+                if rms_chk_b is not None:
+                    out.view_rms_check = rms_chk_b[j][: p.v_real]
+                    valid = np.asarray(p.view_valid[: p.v_real], bool)
+                    delta = np.abs(
+                        out.view_rms_check[valid] - refine.view_errors[valid]
+                    )
+                    out.rms_check_warnings = int(np.sum(delta > 5e-3))
                 if not core.success:
                     print(
                         "Warning: Non-linear refinement did not converge. Using linear result.",

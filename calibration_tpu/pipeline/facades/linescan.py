@@ -14,7 +14,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ...models import pinhole
+from ...models.registry import PINHOLE, CameraModelSpec, get_model
 from ...ops import linescan as ls
 from ...ops import planefit, ransac as ransac_mod
 from .intrinsics import RansacConfig
@@ -76,21 +76,37 @@ def validate_observations(views: List[LineScanViewData]) -> None:
 
 
 class LinescanCalibrationFacade:
-    """src/pipeline/linescan.cpp:12-25 — Brown-Conrady camera -> laser plane."""
+    """src/pipeline/linescan.cpp:12-25 — camera -> laser plane.
+
+    Generic over the camera model, like the reference's
+    ``calibrate_laser_plane`` template (estimation/linear/linescan.h:63-91
+    is templated over ``camera_model``): pass ``model`` (a CameraModelSpec
+    or registry name, default pinhole) and a matching flat intrinsics
+    vector — a Scheimpflug line-scan rig is ``model="scheimpflug"`` with a
+    12-parameter camera.
+    """
 
     def calibrate(
         self,
-        camera: np.ndarray,  # flat pinhole intrinsics (10,)
+        camera: np.ndarray,  # flat intrinsics (model.param_count,)
         views: List[LineScanViewData],
         opts: Optional[LinescanCalibrationOptions] = None,
+        model: CameraModelSpec | str = PINHOLE,
     ) -> LinescanCalibrationRunResult:
         import jax.numpy as jnp
 
         opts = opts or LinescanCalibrationOptions()
+        if isinstance(model, str):
+            model = get_model(model)
         out = LinescanCalibrationRunResult(used_views=len(views))
         try:
             validate_observations(views)
             camera = jnp.asarray(camera)
+            if camera.shape[-1] != model.param_count:
+                raise ValueError(
+                    f"camera has {camera.shape[-1]} params; model "
+                    f"'{model.name}' expects {model.param_count}"
+                )
             nt = max(v.obj_xy.shape[0] for v in views)
             nl = max(v.laser_uv.shape[0] for v in views)
             vcount = len(views)
@@ -108,9 +124,10 @@ class LinescanCalibrationFacade:
                 laser[i, :kl] = v.laser_uv
                 lmask[i, :kl] = True
 
-            # full unprojection through distortion (linescan.h:66-69, 84)
-            tgt_norm = pinhole.unproject(camera[None, None], jnp.asarray(tgt_uv))
-            laser_norm = pinhole.unproject(camera[None, None], jnp.asarray(laser))
+            # full unprojection through the camera model, distortion (and
+            # sensor tilt for Scheimpflug) included (linescan.h:66-69, 84)
+            tgt_norm = model.unproject_normalized(camera[None, None], jnp.asarray(tgt_uv))
+            laser_norm = model.unproject_normalized(camera[None, None], jnp.asarray(laser))
 
             res, pts, pts_mask = ls.calibrate_laser_plane(
                 jnp.asarray(obj), tgt_norm, laser_norm,

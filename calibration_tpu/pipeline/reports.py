@@ -106,6 +106,11 @@ def build_camera_report(
         "warnings": {
             "invalid_k": outputs.invalid_k_warnings,
             "pose_decomposition": outputs.pose_warnings,
+            # fleet-path integrity check: views where the independent f32
+            # reprojection-RMS recompute disagrees with the solver's f64
+            # view_errors (facades.intrinsics.IntrinsicCalibrationOutputs
+            # .view_rms_check)
+            "rms_check": outputs.rms_check_warnings,
         },
         "statistics": {
             "total_input_views": outputs.total_input_views,

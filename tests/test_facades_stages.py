@@ -245,6 +245,55 @@ def test_linescan_facade():
     assert run.result.rms_error < 1e-3
 
 
+def test_linescan_facade_scheimpflug():
+    """Model-generic line-scan (reference linescan.h:63-91 is templated over
+    camera_model): a Scheimpflug rig's tilted-sensor pixels must recover the
+    same laser plane when unprojected through the scheimpflug model."""
+    from calibration_tpu.models import scheimpflug
+
+    intr12 = np.concatenate([synth.default_camera(), [0.06, -0.04]])  # taux, tauy
+    obj = synth.make_target_grid(5, 7, 0.05)
+    plane_n = np.array([0.1, -0.85, 0.52])
+    plane_n /= np.linalg.norm(plane_n)
+    plane_d = -0.45
+
+    views = []
+    for k in range(3):
+        pose = synth.euler_pose(
+            0.2 - 0.1 * k, -0.1 + 0.08 * k, 0.05, [0.02 * k, -0.01, 0.9 + 0.1 * k]
+        )
+        r, t = pose[:3, :3], pose[:3, 3]
+        obj3 = np.concatenate([obj, np.zeros((obj.shape[0], 1))], -1)
+        uv = np.asarray(
+            scheimpflug.project(jnp.asarray(intr12), jnp.asarray(obj3 @ r.T + t))
+        )
+        a = plane_n @ r[:, 0]
+        b = plane_n @ r[:, 1]
+        c = plane_n @ t + plane_d
+        xs = np.linspace(-0.12, 0.12, 25)
+        ys = (-c - a * xs) / b
+        pts_c = np.stack([xs, ys, np.zeros_like(xs)], -1) @ r.T + t
+        laser_uv = np.asarray(scheimpflug.project(jnp.asarray(intr12), jnp.asarray(pts_c)))
+        views.append(LineScanViewData(obj, uv, laser_uv))
+
+    run = LinescanCalibrationFacade().calibrate(
+        intr12, views, LinescanCalibrationOptions(), model="scheimpflug"
+    )
+    assert run.success
+    plane = run.result.plane
+    if plane[:3] @ plane_n < 0:
+        plane = -plane
+    np.testing.assert_allclose(plane[:3], plane_n, atol=2e-3)
+    np.testing.assert_allclose(plane[3], plane_d, atol=2e-3)
+    assert run.result.rms_error < 1e-3
+
+    # wrong param count for the model is a structured failure, not a crash
+    bad = LinescanCalibrationFacade().calibrate(
+        intr12[:10], views, LinescanCalibrationOptions(), model="scheimpflug"
+    )
+    assert not bad.success
+
+
 def test_linescan_facade_too_few_views():
     intr = synth.default_camera()
     obj = synth.make_target_grid(5, 7, 0.05)

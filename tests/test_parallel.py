@@ -59,6 +59,30 @@ def test_pad_batch():
     padded, real = sh.pad_batch(tree, 8)
     assert real == 10
     assert padded["a"].shape[0] == 16
+    # numpy in -> numpy out: padding must not commit through the default client
+    assert type(padded["a"]) is np.ndarray
+
+
+def test_homography_batch_autopads_nondivisible():
+    """B=10 on the 8-mesh: entry points pad to 16, shard (not replicate),
+    and trim the outputs back to 10 (VERDICT round-2 weak #5 / next #7)."""
+    import warnings
+
+    hs, src, dst = _homography_problems(10)
+    mesh = sh.make_mesh(_mesh_cpus()[:8])
+    opts = OptimOptions(max_iterations=50, compute_covariance=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out, hm, cov, cov_ok = batched.homography_batch(src, dst, options=opts, mesh=mesh)
+    assert not [w for w in caught if "REPLICATED" in str(w.message)]
+    hm = np.asarray(hm)
+    assert hm.shape == (10, 3, 3)
+    assert np.asarray(out.success).shape == (10,)
+    for i in range(10):
+        np.testing.assert_allclose(hm[i], hs[i], atol=1e-8)
+    # same numerics as the unsharded solve
+    out2, hm2, _, _ = batched.homography_batch(src, dst, options=opts)
+    np.testing.assert_allclose(hm, np.asarray(hm2), atol=1e-12)
 
 
 def test_extrinsics_batch_sharded():
