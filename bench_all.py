@@ -140,6 +140,35 @@ def bench_intrinsics():
     # least-squares minimum (fx is ambiguity-limited, so compare solutions
     # to each other, not to GT)
     deltas = [np.abs(intr[i, :4] - cpu_res[i].x[:4]).max() for i in range(n_cpu)]
+
+    # --- same-minimum gate (VERDICT r2 #3): both sides solve the IDENTICAL
+    # objective — plain least squares (huber off), skew frozen at zero — on
+    # the same problems, and their final costs are evaluated by ONE shared
+    # numpy evaluator. If the solvers truly share the minimum, the costs
+    # must agree to ~1e-8 relative; full 10-param deltas are reported so the
+    # fx ambiguity-valley claim stays inspectable (Ceres final_cost
+    # semantics: ceresutils.h:40).
+    from calibration_tpu.optim import IntrinsicsOptimOptions, OptimOptions
+    from calibration_tpu.parallel import batched
+
+    n_gate = 4
+    opts_plain = IntrinsicsOptimOptions(
+        core=OptimOptions(max_iterations=80, huber_delta=0.0, compute_covariance=False)
+    )
+    _, gate_out = batched.intrinsics_batch(obj[:n_gate], uv[:n_gate], opts=opts_plain)
+    _, intr_t, poses_t, _, _, _ = gate_out
+    intr_t = np.asarray(intr_t)
+    poses_t = np.asarray(poses_t)
+
+    cost_rels, dparams = [], []
+    for i in range(n_gate):
+        r = cb.solve_intrinsics_cpu(obj[i], uv[i], x0s[i], fix_skew=True)
+        x_t = cb.intrinsics_x0(intr_t[i], poses_t[i])
+        c_t = cb.intrinsics_plain_cost(x_t, obj[i], uv[i])
+        c_c = cb.intrinsics_plain_cost(r.x, obj[i], uv[i])
+        cost_rels.append(abs(c_t - c_c) / max(c_t, c_c, 1e-300))
+        dparams.append(float(np.abs(intr_t[i] - r.x[:10]).max()))
+    cost_rel = float(max(cost_rels))
     return {
         "metric": "batched_planar_intrinsics_solves_per_sec",
         "value": round(throughput, 3),
@@ -147,6 +176,9 @@ def bench_intrinsics():
         "vs_baseline": round(throughput / cpu_tp, 2),
         "cpu_solves_per_sec": round(cpu_tp, 2),
         "parity_max_abs_dK_px": float(max(deltas)),
+        "parity_final_cost_rel": cost_rel,
+        "parity_cost_ok": bool(cost_rel <= 1e-7),
+        "parity_max_abs_dparam_full10": float(max(dparams)),
         "mean_view_rms_px": rms,
     }
 
@@ -313,6 +345,137 @@ def bench_linescan():
     }
 
 
+def bench_pipeline():
+    """BASELINE config 5 *as specified*: the full JSON pipeline — dataset
+    files on disk -> loader -> IntrinsicStage (fleet dispatch over R
+    sensors) -> HandEyeCalibrationStage -> BundleAdjustmentStage ->
+    artifacts JSON written out. Wall time includes JSON parse, orchestration
+    and artifact serialization (reference: bundle_pipeline.cpp:39-139 run
+    once per robot cell). CPU floor = the same numeric core per rig
+    (scipy analytic-Jacobian intrinsics + torch/scipy hand-eye + bundle,
+    sequential) WITHOUT any orchestration cost — a stand-in that favors the
+    CPU side."""
+    import tempfile
+
+    from benchmarks import pipeline_fleet as pf
+
+    rigs = int(os.environ.get("BENCH_PIPE_RIGS", "16"))
+    _log(f"[5P full pipeline] rigs={rigs}")
+
+    def build(seed):
+        d = tempfile.mkdtemp(prefix=f"bench_pipe_{seed}_")
+        return pf.make_fleet(d, rigs=rigs, seed=seed)
+
+    base = build(29)
+    t0 = time.time()
+    rc, art_path = pf.run_pipeline(base["input_path"])
+    _log(f"  compile+first: {time.time() - t0:.1f}s (rc={rc})")
+    assert rc == 0, f"pipeline failed rc={rc}"
+
+    times = []
+    for k in range(1, 3):
+        fleet = build(repeat_seed(29, k))
+        t0 = time.time()
+        rck, _ = pf.run_pipeline(fleet["input_path"])
+        times.append(time.time() - t0)
+        assert rck == 0
+    dt = min(times)
+
+    # accuracy from the base run's artifacts
+    with open(art_path) as f:
+        art = json.load(f)
+    g_err_rot, g_err_tra = [], []
+    for r in range(rigs):
+        g = np.array(art["bundle"][f"rig{r}"]["result"]["g_se3_c"][0])
+        g_err_rot.append(rot_err_deg(g, base["g_gt"][r]))
+        g_err_tra.append(float(np.abs(g[:3, 3] - base["g_gt"][r][:3, 3]).max()))
+
+    n_cpu = 2
+    x0_he = [base["g_gt"][i] @ pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002]) for i in range(n_cpu)]
+
+    def cpu_rig(i):
+        x0 = cb.intrinsics_x0(
+            base["intr"] + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0]),
+            base["ct_gt"][i],
+        )
+        cb.solve_intrinsics_cpu(base["obj"][i], base["uv"][i], x0)
+        _, he = cb.solve_handeye_cpu(base["bg"][i], base["ct_gt"][i], x0_he[i])
+        cb.solve_bundle_cpu(
+            base["obj"][i], base["uv"][i], base["bg"][i], base["intr"],
+            he, base["bt_gt"][i],
+        )
+        return he
+
+    _, cpu_dt = timed_cpu(cpu_rig, n_cpu)
+    return {
+        "metric": "full_json_pipeline_rigs_per_sec",
+        "value": round(rigs / dt, 2),
+        "unit": "rigs/sec",
+        "vs_baseline": round((rigs / dt) / (n_cpu / cpu_dt), 2),
+        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
+        "handeye_rot_err_deg_max": float(max(g_err_rot)),
+        "handeye_trans_err_m_max": float(max(g_err_tra)),
+    }
+
+
+def bench_linescan_ransac():
+    """BASELINE config 5's RANSAC plane-fit variant under load: 20% of each
+    rig's laser pixels replaced by gross outliers; every rig scores 256
+    3-point hypotheses + SVD inlier refit in one batched program
+    (reference: fit_plane_ransac, planefit.cpp:9-62, run serially per rig)."""
+    from calibration_tpu.ops.ransac import RansacOptions
+    from calibration_tpu.parallel import batched
+
+    b = int(os.environ.get("BENCH_LINESCAN_RANSAC_BATCH", "256"))
+    n_cpu = 8
+    _log(f"[5R line-scan RANSAC] batch={b}")
+
+    def problems(seed):
+        camera, obj, tgt_uv, laser_uv, plane_gt = pb.linescan_problems(b, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        # gross outliers: random image positions on 20% of laser pixels
+        out_mask = rng.random(laser_uv.shape[:-1]) < 0.2
+        junk = rng.uniform(0, 640, laser_uv.shape)
+        laser_uv = np.where(out_mask[..., None], junk, laser_uv)
+        return camera, obj, tgt_uv, laser_uv, plane_gt
+
+    camera, obj, tgt_uv, laser_uv, plane_gt = problems(31)
+    opts = RansacOptions(max_iters=256, thresh=0.004, min_inliers=20)
+
+    fn = lambda c, o, tu, lu: batched.linescan_ransac_batch(c, o, tu, lu, options=opts)
+    res, dt = timed_batch(
+        fn, (camera, obj, tgt_uv, laser_uv),
+        lambda k: problems(repeat_seed(31, k))[:4],
+    )
+    plane = np.asarray(res.plane)
+    ok = np.asarray(res.ok)
+
+    cpu_res, cpu_dt = timed_cpu(
+        lambda i: cb.solve_linescan_ransac_cpu(
+            camera[i], obj[i], tgt_uv[i], laser_uv[i],
+            thresh=0.004, max_iters=256, seed=1234567,
+        )[0],
+        n_cpu,
+    )
+    canon = lambda p: p if p[3] >= 0 else -p
+    parity = max(
+        float(np.abs(canon(plane[i]) - canon(cpu_res[i])).max()) for i in range(n_cpu)
+    )
+    ang_err = np.degrees(
+        np.arccos(np.clip(np.abs(np.sum(plane[:, :3] * plane_gt[:, :3], -1)), 0, 1))
+    )
+    return {
+        "metric": "linescan_ransac_plane_solves_per_sec",
+        "value": round(b / dt, 1),
+        "unit": "rigs/sec",
+        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
+        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
+        "all_ok": bool(ok.all()),
+        "parity_max_abs_dplane": parity,
+        "gt_plane_angle_err_deg_max": float(ang_err.max()),
+    }
+
+
 CONFIGS = {
     "1": bench_homography,
     "2": bench_intrinsics,
@@ -320,13 +483,15 @@ CONFIGS = {
     "4": bench_handeye,
     "5": bench_bundle,
     "5L": bench_linescan,
+    "5P": bench_pipeline,
+    "5R": bench_linescan_ransac,
 }
 
 
 def main():
     import jax
 
-    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,5L").split(",")
+    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,5L,5P,5R").split(",")
     _log(f"[bench_all] backend: {jax.default_backend()}, devices: {jax.devices()}")
     results = []
     for key in which:

@@ -122,11 +122,18 @@ def distort_with_jac(xn, yn, k):
 # x = [fx, fy, cx, cy, skew, k1, k2, k3, p1, p2, (w_v(3), t_v(3)) * V]
 # ---------------------------------------------------------------------------
 
-def intrinsics_residual_jac(x, obj, uv, with_jac=True):
-    """obj/uv: (V, N, 2). Returns residual (V*N*2,) and J (V*N*2, 10+6V)."""
+def intrinsics_residual_jac(x, obj, uv, with_jac=True, fix_skew=False):
+    """obj/uv: (V, N, 2). Returns residual (V*N*2,) and J (V*N*2, 10+6V)).
+
+    fix_skew freezes skew at zero (value forced, Jacobian column zeroed) —
+    the reference solver's default SubsetManifold behavior
+    (src/estimation/optim/intrinsics.cpp:78-88), used by the bench_all
+    same-minimum parity gate so both sides solve the IDENTICAL objective."""
     v, n = obj.shape[0], obj.shape[1]
     intr, poses = x[:10], x[10:].reshape(v, 6)
     fx, fy, cx, cy, sk = intr[:5]
+    if fix_skew:
+        sk = 0.0
     kco = intr[5:]
     w, t = poses[:, :3], poses[:, 3:]
 
@@ -151,7 +158,8 @@ def intrinsics_residual_jac(x, obj, uv, with_jac=True):
     Ju = np.zeros((v, n, 2, 5))
     Ju[..., 0, 0] = xd
     Ju[..., 0, 2] = 1.0
-    Ju[..., 0, 4] = yd
+    if not fix_skew:
+        Ju[..., 0, 4] = yd
     Ju[..., 1, 1] = yd
     Ju[..., 1, 3] = 1.0
     # distortion coeffs: (A @ Dk)
@@ -182,13 +190,20 @@ def intrinsics_residual_jac(x, obj, uv, with_jac=True):
     return res.reshape(-1), J.reshape(m, 10 + 6 * v)
 
 
-def solve_intrinsics_cpu(obj, uv, x0, xtol=1e-9, ftol=1e-9, gtol=1e-9):
+def solve_intrinsics_cpu(obj, uv, x0, xtol=1e-9, ftol=1e-9, gtol=1e-9, fix_skew=False):
     """One sequential CPU solve with the analytic Jacobian."""
     from scipy.optimize import least_squares
 
-    fun = lambda x: intrinsics_residual_jac(x, obj, uv, with_jac=False)[0]
-    jac = lambda x: intrinsics_residual_jac(x, obj, uv)[1]
+    fun = lambda x: intrinsics_residual_jac(x, obj, uv, with_jac=False, fix_skew=fix_skew)[0]
+    jac = lambda x: intrinsics_residual_jac(x, obj, uv, fix_skew=fix_skew)[1]
     return least_squares(fun, x0, jac=jac, method="trf", xtol=xtol, ftol=ftol, gtol=gtol)
+
+
+def intrinsics_plain_cost(x, obj, uv, fix_skew=True):
+    """0.5 * sum(r^2) — the SHARED numpy cost evaluator for the same-minimum
+    parity gate (Ceres final_cost semantics, ceresutils.h:40)."""
+    r, _ = intrinsics_residual_jac(x, obj, uv, with_jac=False, fix_skew=fix_skew)
+    return 0.5 * float(np.sum(r * r))
 
 
 def intrinsics_x0(intr0, poses0):
@@ -538,6 +553,19 @@ def pose_from_h_normalized_np(h):
 
 def solve_linescan_cpu(camera, obj, tgt_uv, laser_uv):
     """One rig: (V, N, 2)/(V, N, 2)/(V, L, 2) -> (plane (4,), rms)."""
+    pts = _lift_linescan_points(camera, obj, tgt_uv, laser_uv)
+    centroid = pts.mean(0)
+    _, _, vt = np.linalg.svd(pts - centroid)
+    n = vt[-1]
+    d = -n @ centroid
+    if d < 0:
+        n, d = -n, -d
+    dist = pts @ n + d
+    return np.concatenate([n, [d]]), float(np.sqrt((dist**2).mean()))
+
+
+def _lift_linescan_points(camera, obj, tgt_uv, laser_uv):
+    """Shared lifting of solve_linescan_cpu (views -> 3D camera-frame pts)."""
     pts = []
     for v in range(obj.shape[0]):
         tgt_norm = unproject_np(camera, tgt_uv[v])
@@ -551,12 +579,45 @@ def solve_linescan_cpu(camera, obj, tgt_uv, laser_uv):
         plane_xy = q[:, :2] / q[:, 2:3]
         obj_pts = np.concatenate([plane_xy, np.zeros((plane_xy.shape[0], 1))], -1)
         pts.append(obj_pts @ pose_m[:3, :3].T + pose_m[:3, 3])
-    pts = np.concatenate(pts)
-    centroid = pts.mean(0)
-    _, _, vt = np.linalg.svd(pts - centroid)
-    n = vt[-1]
-    d = -n @ centroid
+    return np.concatenate(pts)
+
+
+def solve_linescan_ransac_cpu(
+    camera, obj, tgt_uv, laser_uv, thresh=0.004, max_iters=256, min_inliers=20,
+    seed=1234567,
+):
+    """Sequential RANSAC plane fit (reference fit_plane_ransac,
+    src/estimation/linear/planefit.cpp:9-62): 3-point hypotheses, plane-point
+    distance threshold (meters), best by (inliers, rms), SVD refit on the
+    winner's inliers. The CPU floor for bench_all config 5R."""
+    pts = _lift_linescan_points(camera, obj, tgt_uv, laser_uv)
+    rng = np.random.default_rng(seed)
+    n = pts.shape[0]
+    best = (-1, np.inf, None, None)  # (inliers, rms, plane, mask)
+    for _ in range(max_iters):
+        idx = rng.choice(n, 3, replace=False)
+        p0, p1, p2 = pts[idx]
+        nrm = np.cross(p1 - p0, p2 - p0)
+        norm = np.linalg.norm(nrm)
+        if norm < 1e-12:
+            continue
+        nrm = nrm / norm
+        d = -nrm @ p0
+        dist = np.abs(pts @ nrm + d)
+        mask = dist < thresh
+        cnt = int(mask.sum())
+        rms = float(np.sqrt((dist[mask] ** 2).mean())) if cnt else np.inf
+        if cnt > best[0] or (cnt == best[0] and rms < best[1]):
+            best = (cnt, rms, np.concatenate([nrm, [d]]), mask)
+    cnt, _, plane, mask = best
+    if cnt < max(3, min_inliers):
+        return plane, 0
+    # SVD refit on inliers (planefit.cpp refit path)
+    inl = pts[mask]
+    centroid = inl.mean(0)
+    _, _, vt = np.linalg.svd(inl - centroid)
+    nrm = vt[-1]
+    d = -nrm @ centroid
     if d < 0:
-        n, d = -n, -d
-    dist = pts @ n + d
-    return np.concatenate([n, [d]]), float(np.sqrt((dist**2).mean()))
+        nrm, d = -nrm, -d
+    return np.concatenate([nrm, [d]]), cnt
