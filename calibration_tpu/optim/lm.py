@@ -41,6 +41,21 @@ class LMState(NamedTuple):
     grad_max: jnp.ndarray
 
 
+class _TrialState(NamedTuple):
+    """Inner (fixed-linearization) damping-retry loop state — see
+    lm_schur._TrialState; Ceres' LevenbergMarquardtStrategy likewise caches
+    the Jacobian across rejected steps and only re-linearizes after an
+    acceptance."""
+
+    x: jnp.ndarray
+    cost: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    it: jnp.ndarray
+    accepted: jnp.ndarray
+    termination: jnp.ndarray
+
+
 class LMOutput(NamedTuple):
     x: jnp.ndarray
     cost: jnp.ndarray
@@ -149,7 +164,14 @@ def make_lm_step(
         return r, jac
 
     def step(state: LMState) -> LMState:
-        x, mu, nu = state.x, state.mu, state.nu
+        """One LINEARIZATION: residual+Jacobian once at the current iterate,
+        then an inner damping-retry loop re-solving the cached normal
+        equations with growing mu until a step is accepted (or a
+        tolerance/max-iter exit). Bit-identical trajectory to
+        re-linearizing every trial — J at an unchanged iterate is
+        deterministic — at a fraction of the rejected-trial cost (the
+        jacfwd is the dominant per-iteration term)."""
+        x = state.x
         r, jac = residual_and_jac(x)
         rw, jw = weighted(r, jac)
         jw = jw * tan_free[None, :]
@@ -166,39 +188,68 @@ def make_lm_step(
         # parameters here span ~1e-4 (tangential coeffs) to ~1e3 (focals).
         d = jnp.where(tan_free > 0, 1.0 / jnp.sqrt(diag), 0.0)
         a_s = d[:, None] * a * d[None, :] + jnp.diag(1.0 - tan_free)
-        sys = a_s + mu * jnp.diag(tan_free)
-        delta = -d * linalg.spd_solve(sys, d * g)
-        delta = delta * tan_free
-        delta_ok = jnp.all(jnp.isfinite(delta))
-        delta = jnp.where(delta_ok, delta, 0.0)
-
         x_norm = jnp.linalg.norm(x)
-        step_norm = jnp.linalg.norm(delta)
-        xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
 
-        x_new = clip_x(manifold.retract(x, delta))
-        cost_new = cost_at(x_new)
-        pred = 0.5 * jnp.dot(delta, mu * diag * delta - g)
-        rho = (state.cost - cost_new) / jnp.where(pred > 0, pred, 1e-300)
-        accept = delta_ok & jnp.isfinite(cost_new) & (rho > 0) & (pred > 0)
+        def trial(t: _TrialState) -> _TrialState:
+            # gate on per-lane activity: under vmap every lane runs the
+            # body, and an accepted/terminated lane's cached (a_s, g) no
+            # longer matches its iterate — its state must not move
+            active = (~t.accepted) & (t.termination == 0) & (
+                t.it < options.max_iterations
+            )
+            mu = t.mu
+            sys = a_s + mu * jnp.diag(tan_free)
+            delta = -d * linalg.spd_solve(sys, d * g)
+            delta = delta * tan_free
+            delta_ok = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(delta_ok, delta, 0.0)
 
-        ftol_hit = accept & (jnp.abs(state.cost - cost_new) <= eps * state.cost)
+            step_norm = jnp.linalg.norm(delta)
+            xtol_hit = delta_ok & (step_norm <= eps * (x_norm + eps))
 
-        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        mu_acc = jnp.clip(mu * factor, _MU_MIN, _MU_MAX)
-        mu_rej = jnp.clip(mu * nu, _MU_MIN, _MU_MAX)
+            x_new = clip_x(manifold.retract(x, delta))
+            cost_new = cost_at(x_new)
+            pred = 0.5 * jnp.dot(delta, mu * diag * delta - g)
+            rho = (state.cost - cost_new) / jnp.where(pred > 0, pred, 1e-300)
+            accept = active & delta_ok & jnp.isfinite(cost_new) & (rho > 0) & (pred > 0)
 
-        x_out = jnp.where(accept, x_new, x)
-        cost_out = jnp.where(accept, cost_new, state.cost)
-        mu_out = jnp.where(accept, mu_acc, mu_rej)
-        nu_out = jnp.where(accept, 2.0, nu * 2.0)
+            ftol_hit = accept & (jnp.abs(state.cost - cost_new) <= eps * state.cost)
 
-        term = jnp.where(
-            gtol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(ftol_hit, 1, 0))
-        ).astype(jnp.int32)
-        done = term > 0
+            factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            mu_acc = jnp.clip(mu * factor, _MU_MIN, _MU_MAX)
+            mu_rej = jnp.clip(mu * t.nu, _MU_MIN, _MU_MAX)
+
+            term = jnp.where(
+                gtol_hit, 2, jnp.where(xtol_hit, 3, jnp.where(ftol_hit, 1, 0))
+            ).astype(jnp.int32)
+            return _TrialState(
+                x=jnp.where(accept, x_new, t.x),
+                cost=jnp.where(accept, cost_new, t.cost),
+                mu=jnp.where(active, jnp.where(accept, mu_acc, mu_rej), t.mu),
+                nu=jnp.where(active, jnp.where(accept, 2.0, t.nu * 2.0), t.nu),
+                it=jnp.where(active, t.it + 1, t.it),
+                accepted=t.accepted | accept,
+                termination=jnp.where(active, term, t.termination),
+            )
+
+        def trial_cond(t: _TrialState):
+            return (~t.accepted) & (t.termination == 0) & (
+                t.it < options.max_iterations
+            )
+
+        t0 = _TrialState(
+            x=x,
+            cost=state.cost,
+            mu=state.mu,
+            nu=state.nu,
+            it=state.it,
+            accepted=jnp.asarray(False),
+            termination=jnp.asarray(0, jnp.int32),
+        )
+        tf = jax.lax.while_loop(trial_cond, trial, t0)
         return LMState(
-            x_out, mu_out, nu_out, cost_out, state.it + 1, done, term, grad_max
+            tf.x, tf.mu, tf.nu, tf.cost, tf.it, tf.termination > 0,
+            tf.termination, grad_max,
         )
 
     def cond(state: LMState):
