@@ -222,6 +222,11 @@ def average_isometries(poses, mask=None):
     if mask is None:
         mask = jnp.ones(poses.shape[0], poses.dtype)
     mask = mask.astype(poses.dtype)
+    # select, not just weight: a masked-out pose can be NaN (degenerate
+    # padded view) and NaN * 0 = NaN would poison the sums (same bug class
+    # as zhang_design_matrix row masking)
+    q = jnp.where(mask[:, None] > 0, q, jnp.array([1.0, 0, 0, 0], poses.dtype))
+    t = jnp.where(mask[:, None] > 0, t, 0.0)
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     ref_idx = jnp.argmax(mask)
     q_ref = q[ref_idx]

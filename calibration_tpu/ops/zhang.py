@@ -56,7 +56,10 @@ def zhang_design_matrix(hs, mask=None):
 
     rows = jnp.stack([rownorm(v12), rownorm(v11 - v22)], axis=-2)  # (V, 2, 6)
     if mask is not None:
-        rows = rows * mask[..., None, None].astype(rows.dtype)
+        # select, not multiply: an invalid view's H can be NaN (all-zero
+        # padded view -> DLT null vector is backend-dependent garbage) and
+        # NaN * 0 = NaN would poison the whole system
+        rows = jnp.where(mask[..., None, None].astype(bool), rows, 0.0)
     return rows.reshape(rows.shape[:-3] + (2 * rows.shape[-3], 6))
 
 

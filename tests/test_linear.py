@@ -66,7 +66,11 @@ def test_pose_from_homography_normalized():
     pose = synth.euler_pose(0.2, -0.3, 0.1, [0.1, -0.05, 1.4])
     hm = np.stack([pose[:3, 0], pose[:3, 1], pose[:3, 3]], axis=1)
     est = np.asarray(planarpose.pose_from_homography_normalized(jnp.asarray(hm / hm[2, 2])))
-    assert synth.rot_err_deg(est, pose) < 1e-8
+    # rot_err_deg goes through arccos(trace), whose f64 roundoff floor is
+    # sqrt(2*eps) ~ 2e-8 rad ~ 1.2e-6 deg — 1e-8 deg only passes when the
+    # recomposed rotation is bit-exact (backend-dependent), so gate at the
+    # honest arccos floor
+    assert synth.rot_err_deg(est, pose) < 5e-6
     assert synth.trans_err(est, pose) < 1e-8
 
 
@@ -202,3 +206,32 @@ def test_extrinsics_dlt():
     assert synth.trans_err(np.asarray(res.c_se3_r[1]), c1_se3_c0) < 1e-6
     for v in range(6):
         assert synth.rot_err_deg(np.asarray(res.r_se3_t[v]), views[v]) < 1e-5
+
+
+def test_estimate_intrinsics_padded_views_nan_proof():
+    """Fully-masked (padded) views can yield NaN homographies (all-zero DLT
+    null vector is backend-dependent garbage); the Zhang system must zero
+    those rows by SELECTION, not weight-multiplication (NaN * 0 = NaN) —
+    regression for the local-CPU failure where every facade seed collapsed
+    to the sanitize fallback. The padded estimate must equal the unpadded
+    one and ok must stay True."""
+    intr = synth.default_camera()
+    obj = np.asarray(synth.make_target_grid(6, 8, 0.04))
+    poses = synth.circle_views(8)
+    uv = np.asarray(synth.render_pixels(intr, poses, obj))
+    obj_b = np.tile(obj[None], (8, 1, 1))
+
+    ref = intrinsics_linear.estimate_intrinsics(jnp.asarray(obj_b), jnp.asarray(uv))
+    assert bool(ref.ok)
+
+    vpad, npad = 16, 64
+    obj_p = np.pad(obj_b, ((0, vpad - 8), (0, npad - 48), (0, 0)))
+    uv_p = np.pad(uv, ((0, vpad - 8), (0, npad - 48), (0, 0)))
+    mask = np.zeros((vpad, npad))
+    mask[:8, :48] = 1.0
+    res = intrinsics_linear.estimate_intrinsics(
+        jnp.asarray(obj_p), jnp.asarray(uv_p), jnp.asarray(mask)
+    )
+    assert bool(res.ok), "padded views must not poison the Zhang system"
+    np.testing.assert_allclose(np.asarray(res.kmtx), np.asarray(ref.kmtx), atol=1e-9)
+    assert np.asarray(res.h_ok)[:8].all() and not np.asarray(res.h_ok)[8:].any()

@@ -4,6 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import synth
 from calibration_tpu.ops import se3
 
 
@@ -70,3 +71,14 @@ def test_log_so3_grad_at_identity():
 
     j = jax.jacfwd(f)(jnp.zeros(3))
     np.testing.assert_allclose(np.asarray(j), np.eye(3), atol=1e-8)
+
+
+def test_average_isometries_masked_nan_proof():
+    """A masked-out pose may be NaN (degenerate padded view); the average
+    must select through the mask, not weight-multiply (NaN * 0 = NaN)."""
+    poses = np.stack([synth.euler_pose(0.1, 0.2, -0.1, [1, 2, 3]) for _ in range(3)])
+    poses[2] = np.nan
+    mask = jnp.asarray([1.0, 1.0, 0.0])
+    avg = np.asarray(se3.average_isometries(jnp.asarray(poses), mask))
+    assert np.all(np.isfinite(avg))
+    np.testing.assert_allclose(avg, poses[0], atol=1e-12)
