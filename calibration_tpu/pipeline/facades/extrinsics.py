@@ -168,6 +168,111 @@ class StereoCalibrationFacade:
         result.success = result.optimization.core.success
         return result
 
+    def calibrate_many(self, items) -> list:
+        """Fleet variant of ``calibrate``: one batched DLT+LM dispatch per
+        (V, C, N, options) shape bucket instead of one per pair (the
+        reference loops pairs serially, stereo_stage.cpp:68-149).
+
+        items: sequence of ``calibrate`` argument tuples
+        (cfg, ref_det, tgt_det, ref_intr, tgt_intr). Returns one
+        StereoCalibrationRunResult (or the raised Exception) per item, in
+        order — same results as the serial path (vmap of the same device
+        core; see tests/test_facades_stages.py fleet==serial tests)."""
+        from .. import fleet
+
+        results: list = [None] * len(items)
+        jobs, job_slots = [], []
+        for i, (cfg, ref_det, tgt_det, ref_intr, tgt_intr) in enumerate(items):
+            # host-side walk identical to calibrate() up to the device call
+            try:
+                result = StereoCalibrationRunResult(requested_views=len(cfg.views))
+                if ref_intr.refine_result is None or tgt_intr.refine_result is None:
+                    raise RuntimeError(
+                        "StereoCalibrationFacade: camera intrinsics are not available."
+                    )
+                ref_lookup = {img.file: img for img in ref_det.images}
+                tgt_lookup = {img.file: img for img in tgt_det.images}
+                views_raw = []
+                for sel in cfg.views:
+                    summary = StereoCalibrationViewSummary(
+                        sel.reference_image, sel.target_image
+                    )
+                    ref_img = ref_lookup.get(sel.reference_image)
+                    tgt_img = tgt_lookup.get(sel.target_image)
+                    if ref_img is None:
+                        summary.status = "missing_reference_image"
+                        result.view_summaries.append(summary)
+                        continue
+                    if tgt_img is None:
+                        summary.status = "missing_target_image"
+                        result.view_summaries.append(summary)
+                        continue
+                    ref_view = make_planar_arrays(ref_img)
+                    tgt_view = make_planar_arrays(tgt_img)
+                    summary.reference_points = ref_view[0].shape[0]
+                    summary.target_points = tgt_view[0].shape[0]
+                    if summary.reference_points < 4 or summary.target_points < 4:
+                        summary.status = "insufficient_points"
+                        result.view_summaries.append(summary)
+                        continue
+                    summary.status = "ok"
+                    result.view_summaries.append(summary)
+                    views_raw.append([ref_view, tgt_view])
+                result.used_views = len(views_raw)
+                results[i] = result
+                if not views_raw:
+                    continue
+                obj, uv, mask = _pack_multicam(views_raw)
+                cameras = np.stack(
+                    [ref_intr.refine_result.camera, tgt_intr.refine_result.camera]
+                )
+                jobs.append(fleet.ExtrinsicsJob(
+                    obj=obj, uv=uv, mask=mask, cameras=cameras, opts=cfg.options
+                ))
+                job_slots.append(i)
+            except Exception as ex:  # noqa: BLE001 — per-pair parity (stereo_stage.cpp:141-146)
+                results[i] = ex
+
+        try:
+            solved = fleet.extrinsics_fleet(jobs) if jobs else []
+        except Exception:  # pragma: no cover — shape/compile failure fallback
+            solved = []
+            for job in jobs:
+                try:
+                    solved.append(_run_extrinsic_estimation_packed(job))
+                except Exception as ex:  # noqa: BLE001
+                    solved.append(ex)
+
+        for slot, item in zip(job_slots, solved):
+            if isinstance(item, Exception):
+                results[slot] = item
+                continue
+            (init_c, init_r), opt = item
+            result = results[slot]
+            result.initial_guess = ExtrinsicPosesOut(
+                np.asarray(init_c), np.asarray(init_r)
+            )
+            result.optimization = opt
+            result.success = opt.core.success
+        return results
+
+
+def _run_extrinsic_estimation_packed(job):
+    """Serial fallback for one packed ExtrinsicsJob: same return shape as
+    one extrinsics_fleet element ((init_c, init_r), optimization)."""
+    import jax.numpy as jnp
+
+    kmtxs = jnp.asarray(job.cameras)[:, :5]
+    norm_uv = cm.normalize(kmtxs[None, :, None, :], jnp.asarray(job.uv))
+    initial = extrinsics_linear.estimate_extrinsic_dlt(
+        jnp.asarray(job.obj), norm_uv, jnp.asarray(job.mask)
+    )
+    opt = optimize_extrinsics(
+        job.obj, job.uv, job.cameras, initial.c_se3_r, initial.r_se3_t,
+        mask=jnp.asarray(job.mask), opts=job.opts,
+    )
+    return (np.asarray(initial.c_se3_r), np.asarray(initial.r_se3_t)), opt
+
 
 @dataclasses.dataclass
 class MultiCameraViewSelection:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 import sys
+import time
 from typing import Any, Dict, List, Optional
 
 from .dataset import CalibrationDataset
@@ -21,6 +22,8 @@ class PipelineStageResult:
     name: str = ""
     success: bool = False
     summary: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    duration_s: float = 0.0  # wall time of stage.run (observability; not in
+    # the reference report — harmless extra field for profiling pipelines)
 
 
 @dataclasses.dataclass
@@ -118,7 +121,11 @@ class LoggingDecorator(StageDecorator):
 
     def after_stage(self, stage, context, result):
         status = " (success)" if result.success else " (failed)"
-        print(f"[pipeline] ← Completed stage '{stage.name()}'{status}", file=self.out)
+        print(
+            f"[pipeline] ← Completed stage '{stage.name()}'{status}"
+            f" [{result.duration_s:.2f}s]",
+            file=self.out,
+        )
 
 
 class CalibrationPipeline:
@@ -140,7 +147,9 @@ class CalibrationPipeline:
         for stage in self._stages:
             for deco in self._decorators:
                 deco.before_stage(stage, context)
+            t0 = time.time()
             result = stage.run(context)
+            result.duration_s = time.time() - t0
             if not result.name:
                 result.name = stage.name()
             for deco in self._decorators:

@@ -13,8 +13,9 @@ from typing import Dict, List
 import numpy as np
 
 from ..io import jsonio
-from ..ops import handeye_linear, planarpose, se3
+from ..ops import handeye_linear
 from ..optim import estimate_and_optimize_handeye, optimize_bundle
+from . import fleet
 from .facades.extrinsics import StereoCalibrationFacade
 from .facades.intrinsics import PlanarIntrinsicCalibrationFacade
 from .pipeline import CalibrationStage, PipelineContext, PipelineStageResult
@@ -123,6 +124,8 @@ class StereoCalibrationStage(CalibrationStage):
         pairs_summary = []
         all_success, any_success = True, False
 
+        # ---- phase A: per-pair config/lookup checks; defer device work ----
+        items, item_pjs = [], []
         for pair_cfg in cfg.pairs:
             pj = {
                 "pair_id": pair_cfg.pair_id,
@@ -161,41 +164,50 @@ class StereoCalibrationStage(CalibrationStage):
                 pairs_summary.append(pj)
                 continue
 
-            try:
-                pr = facade.calibrate(pair_cfg, ref_det, tgt_det, ref_intr, tgt_intr)
-                pj["views"] = [jsonio.to_jsonable(v) for v in pr.view_summaries]
-                pj["used_views"] = pr.used_views
-                pj["success"] = pr.success
-                pj["status"] = "ok" if pr.success else "failed"
-                if pr.optimization is not None:
-                    pj["final_cost"] = pr.optimization.core.final_cost
-                if pr.success:
-                    any_success = True
-                    context.stereo_results[pair_cfg.pair_id] = pr.optimization
-                else:
-                    all_success = False
-                artifact = {
-                    "initial_guess": {
-                        "c_se3_r": [_pose_json(m) for m in pr.initial_guess.c_se3_r],
-                        "r_se3_t": [_pose_json(m) for m in pr.initial_guess.r_se3_t],
-                    },
-                    "views": pj.get("views", []),
-                }
-                if pr.optimization is not None:
-                    artifact["optimization"] = {
-                        "success": pr.optimization.core.success,
-                        "final_cost": pr.optimization.core.final_cost,
-                        "report": pr.optimization.core.report,
-                        "cameras": [c.tolist() for c in pr.optimization.cameras],
-                        "c_se3_r": [_pose_json(m) for m in pr.optimization.c_se3_r],
-                        "r_se3_t": [_pose_json(m) for m in pr.optimization.r_se3_t],
-                    }
-                    artifact["final_cost"] = pr.optimization.core.final_cost
-                stereo_artifacts["pairs"][pair_cfg.pair_id] = artifact
-            except Exception as ex:  # noqa: BLE001 — parity (stereo_stage.cpp:141-146)
-                pj.update(status="calibration_error", error=str(ex), success=False)
-                all_success = False
+            items.append((pair_cfg, ref_det, tgt_det, ref_intr, tgt_intr))
+            item_pjs.append(pj)
             pairs_summary.append(pj)
+
+        # ---- phase B: one batched DLT+LM dispatch per shape bucket ----
+        # (the reference solves pairs serially, stereo_stage.cpp:68-149)
+        solved = facade.calibrate_many(items) if items else []
+
+        # ---- phase C: fill reports in pair order ----
+        for (pair_cfg, *_), pj, pr in zip(items, item_pjs, solved):
+            if isinstance(pr, Exception):
+                # parity (stereo_stage.cpp:141-146)
+                pj.update(status="calibration_error", error=str(pr), success=False)
+                all_success = False
+                continue
+            pj["views"] = [jsonio.to_jsonable(v) for v in pr.view_summaries]
+            pj["used_views"] = pr.used_views
+            pj["success"] = pr.success
+            pj["status"] = "ok" if pr.success else "failed"
+            if pr.optimization is not None:
+                pj["final_cost"] = pr.optimization.core.final_cost
+            if pr.success:
+                any_success = True
+                context.stereo_results[pair_cfg.pair_id] = pr.optimization
+            else:
+                all_success = False
+            artifact = {
+                "initial_guess": {
+                    "c_se3_r": [_pose_json(m) for m in pr.initial_guess.c_se3_r],
+                    "r_se3_t": [_pose_json(m) for m in pr.initial_guess.r_se3_t],
+                },
+                "views": pj.get("views", []),
+            }
+            if pr.optimization is not None:
+                artifact["optimization"] = {
+                    "success": pr.optimization.core.success,
+                    "final_cost": pr.optimization.core.final_cost,
+                    "report": pr.optimization.core.report,
+                    "cameras": [c.tolist() for c in pr.optimization.cameras],
+                    "c_se3_r": [_pose_json(m) for m in pr.optimization.c_se3_r],
+                    "r_se3_t": [_pose_json(m) for m in pr.optimization.r_se3_t],
+                }
+                artifact["final_cost"] = pr.optimization.core.final_cost
+            stereo_artifacts["pairs"][pair_cfg.pair_id] = artifact
 
         result.summary["pairs"] = pairs_summary
         result.summary["status"], result.success = _aggregate(any_success, all_success)
@@ -211,14 +223,18 @@ def _aggregate(any_success: bool, all_success: bool):
 
 
 class HandEyeCalibrationStage(CalibrationStage):
-    """handeye_stage.cpp:34-224."""
+    """handeye_stage.cpp:34-224.
+
+    Fleet dispatch: the reference solves per rig x sensor serially (and one
+    planar pose per view); here all views' poses and all sensors' AX=XB
+    solves run as a handful of batched programs (pipeline.fleet), with
+    identical per-sensor results and status semantics.
+    """
 
     def name(self) -> str:
         return "hand_eye"
 
     def run(self, context: PipelineContext) -> PipelineStageResult:
-        import jax.numpy as jnp
-
         result = PipelineStageResult(name=self.name())
         if not context.intrinsic_results:
             result.summary["status"] = "waiting_for_intrinsic_stage"
@@ -235,8 +251,10 @@ class HandEyeCalibrationStage(CalibrationStage):
         context.handeye_results.clear()
         he_artifacts = context.artifacts.setdefault("hand_eye", {})
 
-        overall, any_success = True, False
-        rigs_json = []
+        # ---- phase A: walk rigs/sensors/views, defer the device work ----
+        pose_jobs: List[tuple] = []  # (obj, uv, kmtx)
+        records = []  # one per (rig, sensor) that reaches the solve gate
+        rigs = []  # (rig, rig_json, sensors_artifact, sensors_json)
         for rig in cfg.rigs:
             rig_json = {
                 "rig_id": rig.rig_id,
@@ -247,33 +265,33 @@ class HandEyeCalibrationStage(CalibrationStage):
             rig_artifact["min_angle_deg"] = rig.min_angle_deg
             rig_artifact["options"] = jsonio.to_jsonable(rig.options)
             sensors_artifact = rig_artifact.setdefault("sensors", {})
+            sensors_json: List[dict] = []
+            rigs.append((rig, rig_json, sensors_artifact, sensors_json))
 
-            sensors_json = []
-            rig_success, rig_any = True, False
             for sensor_id in rig.sensors:
                 sj = {
                     "sensor_id": sensor_id,
                     "requested_observations": len(rig.observations),
                     "min_angle_deg": rig.min_angle_deg,
                 }
+                rec = {
+                    "rig": rig, "sensor_id": sensor_id, "sj": sj,
+                    "sensors_json": sensors_json,
+                    "sensors_artifact": sensors_artifact,
+                    "bases": [], "pose_idx": [], "solve": None,
+                }
+                records.append(rec)
                 intr = context.intrinsic_results.get(sensor_id)
                 if intr is None:
                     sj["status"] = "missing_intrinsics"
-                    rig_success = False
-                    sensors_json.append(sj)
-                    sensors_artifact[sensor_id] = sj
                     continue
                 det_index = sensor_index.get(sensor_id)
                 if det_index is None:
                     sj["status"] = "missing_detections"
-                    rig_success = False
-                    sensors_json.append(sj)
-                    sensors_artifact[sensor_id] = sj
                     continue
 
                 camera = intr.refine_result.camera
                 view_reports = []
-                base_acc, cam_acc = [], []
                 for view_cfg in rig.observations:
                     vj = {}
                     if view_cfg.view_id:
@@ -295,47 +313,74 @@ class HandEyeCalibrationStage(CalibrationStage):
                         vj["status"] = "insufficient_points"
                         view_reports.append(vj)
                         continue
-                    pose = planarpose.estimate_planar_pose(
-                        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(camera[:5])
-                    )
-                    base_acc.append(np.asarray(view_cfg.base_se3_gripper))
-                    cam_acc.append(np.asarray(pose))
+                    rec["bases"].append(np.asarray(view_cfg.base_se3_gripper))
+                    rec["pose_idx"].append(len(pose_jobs))
+                    pose_jobs.append((obj, uv, np.asarray(camera[:5])))
                     vj["status"] = "ok"
                     view_reports.append(vj)
 
-                sj["used_observations"] = len(cam_acc)
+                sj["used_observations"] = len(rec["pose_idx"])
                 sj["views"] = view_reports
-                if len(cam_acc) < 2:
-                    sj["status"] = "no_observations" if not cam_acc else "insufficient_observations"
-                    rig_success = False
-                    sensors_json.append(sj)
-                    sensors_artifact[sensor_id] = sj
-                    continue
-
-                try:
-                    he = estimate_and_optimize_handeye(
-                        np.stack(base_acc), np.stack(cam_acc), rig.min_angle_deg, rig.options
+                if len(rec["pose_idx"]) < 2:
+                    sj["status"] = (
+                        "no_observations" if not rec["pose_idx"] else "insufficient_observations"
                     )
-                    sj["status"] = "ok" if he.core.success else "optimization_failed"
-                    sj["success"] = he.core.success
-                    sj["final_cost"] = he.core.final_cost
-                    sj["report"] = he.core.report
-                    sj["g_se3_c"] = _pose_json(he.g_se3_c)
-                    if he.core.covariance is not None:
-                        sj["covariance"] = he.core.covariance.tolist()
-                    sensors_artifact[sensor_id] = sj
-                    if he.core.success:
-                        rig_any = True
-                        context.handeye_results.setdefault(rig.rig_id, {})[sensor_id] = he
-                    else:
-                        rig_success = False
-                except Exception as ex:  # noqa: BLE001 — parity (handeye_stage.cpp:185-190)
-                    sj["status"] = "estimation_error"
-                    sj["error"] = str(ex)
-                    sensors_artifact[sensor_id] = sj
-                    rig_success = False
-                sensors_json.append(sj)
+                else:
+                    rec["solve"] = True
 
+        # ---- phase B: batched planar poses, then batched AX=XB solves ----
+        poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
+        he_jobs, he_recs = [], []
+        for rec in records:
+            if rec["solve"]:
+                he_jobs.append((
+                    np.stack(rec["bases"]),
+                    np.stack([poses[i] for i in rec["pose_idx"]]),
+                    rec["rig"].min_angle_deg,
+                    rec["rig"].options,
+                ))
+                he_recs.append(rec)
+        try:
+            he_results = fleet.handeye_fleet(he_jobs) if he_jobs else []
+        except Exception:  # pragma: no cover — shape/compile failure fallback
+            he_results = []
+            for bg, ct, ang, opts in he_jobs:
+                try:
+                    he_results.append(estimate_and_optimize_handeye(bg, ct, ang, opts))
+                except Exception as ex:  # noqa: BLE001 — parity (handeye_stage.cpp:185-190)
+                    he_results.append(ex)
+
+        # ---- phase C: fill reports and statuses in submission order ----
+        for rec, he in zip(he_recs, he_results):
+            sj = rec["sj"]
+            if isinstance(he, Exception):
+                sj["status"] = "estimation_error"
+                sj["error"] = str(he)
+                continue
+            sj["status"] = "ok" if he.core.success else "optimization_failed"
+            sj["success"] = he.core.success
+            sj["final_cost"] = he.core.final_cost
+            sj["report"] = he.core.report
+            sj["g_se3_c"] = _pose_json(he.g_se3_c)
+            if he.core.covariance is not None:
+                sj["covariance"] = he.core.covariance.tolist()
+            if he.core.success:
+                context.handeye_results.setdefault(rec["rig"].rig_id, {})[
+                    rec["sensor_id"]
+                ] = he
+
+        for rec in records:
+            rec["sensors_json"].append(rec["sj"])
+            rec["sensors_artifact"][rec["sensor_id"]] = rec["sj"]
+
+        overall, any_success = True, False
+        rigs_json = []
+        for rig, rig_json, _, sensors_json in rigs:
+            rig_results = context.handeye_results.get(rig.rig_id, {})
+            rig_any = bool(rig_results)
+            rig_success = all(
+                sj.get("status") == "ok" for sj in sensors_json
+            ) and bool(sensors_json)
             if rig_any and rig_success:
                 rig_json["status"] = "ok"
                 any_success = True
@@ -381,13 +426,18 @@ class BundleAdjustmentStage(CalibrationStage):
         he_cfg = context.handeye_config() if context.has_handeye_config() else None
 
         overall, any_success = True, False
-        rigs_json = []
+
+        # ---- phase A: per-rig host walk; defer every device call ----
+        pose_jobs: List[tuple] = []  # (obj, uv, kmtx)
+        recs = []  # per-rig state; rec["json"] keeps rigs_json order
         for rig in cfg.rigs:
             rig_json = {
                 "rig_id": rig.rig_id,
                 "sensor_count": len(rig.sensors),
                 "min_angle_deg": rig.min_angle_deg,
             }
+            rec = {"rig": rig, "json": rig_json, "solve": False}
+            recs.append(rec)
             # observation selection with hand-eye fallback (bundle_utils.cpp:30-44)
             observations = rig.observations
             if not observations and he_cfg is not None:
@@ -398,20 +448,19 @@ class BundleAdjustmentStage(CalibrationStage):
             if not observations:
                 rig_json["status"] = "no_observations"
                 rig_json["observations"] = {"requested": requested, "used": 0}
-                rigs_json.append(rig_json)
                 overall = False
                 continue
 
             rig_artifact = bundle_artifacts.setdefault(rig.rig_id, {})
             rig_artifact["options"] = jsonio.to_jsonable(rig.options)
             rig_artifact["min_angle_deg"] = rig.min_angle_deg
+            rec["artifact"] = rig_artifact
 
             # sensor setup (bundle_utils.cpp:9-27)
             missing = [s for s in rig.sensors if s not in context.intrinsic_results]
             if missing:
                 rig_json["status"] = "missing_intrinsics"
                 rig_json["observations"] = {"requested": requested, "used": 0}
-                rigs_json.append(rig_json)
                 overall = False
                 continue
             cameras = np.stack(
@@ -419,10 +468,11 @@ class BundleAdjustmentStage(CalibrationStage):
             )
             sensor_to_index = {s: i for i, s in enumerate(rig.sensors)}
 
-            # collect observations (bundle_utils.cpp:60-145)
+            # collect observations (bundle_utils.cpp:60-145); planar poses
+            # are fleet-solved after this walk
             obs_views, obs_bg, obs_cam_idx = [], [], []
             accum_base: Dict[int, List] = {i: [] for i in range(len(rig.sensors))}
-            accum_cam: Dict[int, List] = {i: [] for i in range(len(rig.sensors))}
+            accum_pose_idx: Dict[int, List] = {i: [] for i in range(len(rig.sensors))}
             views_json = []
             for view_cfg in observations:
                 vj = {}
@@ -458,14 +508,12 @@ class BundleAdjustmentStage(CalibrationStage):
                         se["status"] = "insufficient_points"
                         sensor_reports.append(se)
                         continue
-                    pose = planarpose.estimate_planar_pose(
-                        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(camera[:5])
-                    )
                     obs_views.append((obj, uv))
                     obs_bg.append(np.asarray(view_cfg.base_se3_gripper))
                     obs_cam_idx.append(sidx)
                     accum_base[sidx].append(np.asarray(view_cfg.base_se3_gripper))
-                    accum_cam[sidx].append(np.asarray(pose))
+                    accum_pose_idx[sidx].append(len(pose_jobs))
+                    pose_jobs.append((obj, uv, np.asarray(camera[:5])))
                     se["status"] = "ok"
                     used = True
                     sensor_reports.append(se)
@@ -477,9 +525,30 @@ class BundleAdjustmentStage(CalibrationStage):
             rig_json["views"] = views_json
             if not obs_views:
                 rig_json["status"] = "no_valid_observations"
-                rigs_json.append(rig_json)
                 overall = False
                 continue
+            rec.update(
+                solve=True, cameras=cameras, obs_views=obs_views, obs_bg=obs_bg,
+                obs_cam_idx=obs_cam_idx, accum_base=accum_base,
+                accum_pose_idx=accum_pose_idx, views_json=views_json,
+            )
+
+        # ---- phase B: one batched planar-pose dispatch for every view ----
+        poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
+
+        # ---- phase C: hand-eye + target inits (prior stage / DLT / identity) ----
+        avg_groups, avg_recs = [], []
+        for rec in recs:
+            if not rec["solve"]:
+                continue
+            rig = rec["rig"]
+            rig_json = rec["json"]
+            accum_base = rec["accum_base"]
+            accum_cam = {
+                sidx: [poses[i] for i in idx_list]
+                for sidx, idx_list in rec["accum_pose_idx"].items()
+            }
+            rec["accum_cam"] = accum_cam
 
             # hand-eye init: prior stage -> DLT -> identity (bundle_utils.cpp:148-200)
             he_init = np.tile(np.eye(4), (len(rig.sensors), 1, 1))
@@ -511,64 +580,96 @@ class BundleAdjustmentStage(CalibrationStage):
                     he_failed = True
                 he_report.append(entry)
             rig_json["handeye_initialization"] = he_report
+            rec["he_init"] = he_init
+            rec["he_report"] = he_report
 
             # target init: config -> averaged b*X*c -> identity (bundle_utils.cpp:202-237)
             if rig.initial_target is not None:
-                target_pose = np.asarray(rig.initial_target)
-                target_source = "config"
+                rec["target"] = np.asarray(rig.initial_target)
+                rec["target_source"] = "config"
             else:
                 candidates = []
                 for sidx in range(len(rig.sensors)):
                     for b, c in zip(accum_base[sidx], accum_cam[sidx]):
                         candidates.append(b @ he_init[sidx] @ c)
                 if candidates:
-                    target_pose = np.asarray(
-                        se3.average_isometries(jnp.asarray(np.stack(candidates)))
-                    )
-                    target_source = "estimated"
+                    rec["target_source"] = "estimated"
+                    avg_groups.append(candidates)
+                    avg_recs.append(rec)
                 else:
-                    target_pose = np.eye(4)
-                    target_source = "identity"
-            rig_json["initial_target_source"] = target_source
-            rig_artifact["initial_hand_eye"] = he_report
-            rig_artifact["initial_target"] = _pose_json(target_pose)
+                    rec["target"] = np.eye(4)
+                    rec["target_source"] = "identity"
             if he_failed and rig.initial_target is None:
                 overall = False
 
-            try:
-                obj_b, uv_b, mask_b = pad_views(obs_views)
-                br = optimize_bundle(
-                    obj_b, uv_b, np.stack(obs_bg), np.asarray(obs_cam_idx), cameras,
-                    he_init, target_pose, mask=jnp.asarray(mask_b), opts=rig.options,
-                )
-                result_json = {
-                    "success": br.core.success,
-                    "final_cost": br.core.final_cost,
-                    "report": br.core.report,
-                    "b_se3_t": _pose_json(br.b_se3_t),
-                    "g_se3_c": [_pose_json(m) for m in br.g_se3_c],
-                    "cameras": [c.tolist() for c in br.cameras],
-                }
-                if br.core.covariance is not None:
-                    result_json["covariance"] = br.core.covariance.tolist()
-                rig_artifact["result"] = result_json
-                rig_artifact["views"] = views_json
-                rig_json["success"] = br.core.success
-                rig_json["final_cost"] = br.core.final_cost
-                if br.core.success:
-                    rig_json["status"] = "ok"
-                    any_success = True
-                    context.bundle_results[rig.rig_id] = br
-                else:
-                    rig_json["status"] = "optimization_failed"
-                    overall = False
-            except Exception as ex:  # noqa: BLE001 — parity (bundle_stage.cpp:146-151)
-                rig_json["status"] = "optimization_error"
-                rig_json["error"] = str(ex)
-                rig_artifact["error"] = str(ex)
-                overall = False
-            rigs_json.append(rig_json)
+        for rec, avg in zip(avg_recs, fleet.average_isometries_fleet(avg_groups)):
+            rec["target"] = avg
 
-        result.summary["rigs"] = rigs_json
+        # ---- phase D: one batched bundle dispatch per shape bucket ----
+        solve_recs = [rec for rec in recs if rec["solve"]]
+        jobs = []
+        for rec in solve_recs:
+            obj_b, uv_b, mask_b = pad_views(rec["obs_views"])
+            jobs.append(
+                fleet.BundleJob(
+                    obj=obj_b, uv=uv_b, bg=np.stack(rec["obs_bg"]),
+                    cam_idx=np.asarray(rec["obs_cam_idx"]), cameras=rec["cameras"],
+                    he_init=rec["he_init"], target=rec["target"], mask=mask_b,
+                    opts=rec["rig"].options,
+                )
+            )
+        try:
+            bundle_results = fleet.bundle_fleet(jobs) if jobs else []
+        except Exception:  # pragma: no cover — shape/compile failure fallback
+            bundle_results = []
+            for job in jobs:
+                try:
+                    bundle_results.append(
+                        optimize_bundle(
+                            job.obj, job.uv, job.bg, job.cam_idx, job.cameras,
+                            job.he_init, job.target, mask=jnp.asarray(job.mask),
+                            opts=job.opts,
+                        )
+                    )
+                except Exception as ex:  # noqa: BLE001 — parity (bundle_stage.cpp:146-151)
+                    bundle_results.append(ex)
+
+        # ---- phase E: fill reports in rig order ----
+        for rec, br in zip(solve_recs, bundle_results):
+            rig = rec["rig"]
+            rig_json = rec["json"]
+            rig_artifact = rec["artifact"]
+            rig_json["initial_target_source"] = rec["target_source"]
+            rig_artifact["initial_hand_eye"] = rec["he_report"]
+            rig_artifact["initial_target"] = _pose_json(rec["target"])
+            if isinstance(br, Exception):
+                rig_json["status"] = "optimization_error"
+                rig_json["error"] = str(br)
+                rig_artifact["error"] = str(br)
+                overall = False
+                continue
+            result_json = {
+                "success": br.core.success,
+                "final_cost": br.core.final_cost,
+                "report": br.core.report,
+                "b_se3_t": _pose_json(br.b_se3_t),
+                "g_se3_c": [_pose_json(m) for m in br.g_se3_c],
+                "cameras": [c.tolist() for c in br.cameras],
+            }
+            if br.core.covariance is not None:
+                result_json["covariance"] = br.core.covariance.tolist()
+            rig_artifact["result"] = result_json
+            rig_artifact["views"] = rec["views_json"]
+            rig_json["success"] = br.core.success
+            rig_json["final_cost"] = br.core.final_cost
+            if br.core.success:
+                rig_json["status"] = "ok"
+                any_success = True
+                context.bundle_results[rig.rig_id] = br
+            else:
+                rig_json["status"] = "optimization_failed"
+                overall = False
+
+        result.summary["rigs"] = [rec["json"] for rec in recs]
         result.summary["status"], result.success = _aggregate(any_success, overall)
         return result
