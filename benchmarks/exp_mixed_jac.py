@@ -1,8 +1,12 @@
-"""A/B: f64 LM vs precision="mixed_jac" (f32 Jacobian/gram phase + f64
-polish) on the flagship config-2 problem. Also reports accuracy deltas so
-the speedup is only claimed at parity.
+"""A/B sweep: f64 LM vs the mixed-precision modes on the flagship config-2
+problem (precision="mixed_jac" = f32 Jacobian/gram phase + f64 polish;
+precision="mixed" = full-f32 coarse phase + f64 polish), across coarse-phase
+tolerances. Reports accuracy deltas vs the f64 arm so a speedup is only
+claimed at parity.
 
-Usage: python benchmarks/exp_mixed_jac.py [batch]
+Usage: python benchmarks/exp_mixed_jac.py [batch] [arm ...]
+  arm = "f64" | "<precision>:<coarse_eps>", e.g. mixed_jac:1e-4 mixed:1e-3
+  default arms: f64 mixed_jac:1e-4 mixed_jac:1e-5 mixed:1e-4 mixed:1e-3
 """
 
 from __future__ import annotations
@@ -19,9 +23,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DEFAULT_ARMS = ["f64", "mixed_jac:1e-4", "mixed_jac:1e-5", "mixed:1e-4", "mixed:1e-3"]
+
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    arms = sys.argv[2:] or DEFAULT_ARMS
     import jax
     import jax.numpy as jnp
 
@@ -34,11 +41,11 @@ def main():
     print(f"backend={jax.default_backend()} batch={batch}", file=sys.stderr)
     obj, uv, poses_gt, intr_gt = make_problems(batch)
 
-    opts = IntrinsicsOptimOptions(
-        core=OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
-    )
+    core = OptimOptions(max_iterations=40, epsilon=1e-9, compute_covariance=True)
 
-    def solve_fn(precision):
+    def solve_fn(precision, coarse_eps):
+        opts = IntrinsicsOptimOptions(core=core, mixed_coarse_epsilon=coarse_eps)
+
         @jax.jit
         def solve(obj, uv):
             mask = jnp.ones(obj.shape[:-1], obj.dtype)
@@ -55,8 +62,10 @@ def main():
         return solve
 
     results = {}
-    for precision in ("f64", "mixed_jac"):
-        solve = solve_fn(precision)
+    for arm in arms:
+        precision, _, eps_s = arm.partition(":")
+        coarse_eps = float(eps_s) if eps_s else 1e-4
+        solve = solve_fn(precision, coarse_eps)
         t0 = time.time()
         r0 = solve(jnp.asarray(obj), jnp.asarray(uv))
         r0[0].block_until_ready()
@@ -69,21 +78,24 @@ def main():
             r[0].block_until_ready()
             times.append(time.time() - t0)
         intr, cost, iters, ve, cov = (np.asarray(a) for a in r0)
-        results[precision] = (intr, cost, cov)
+        results[arm] = (intr, cost, cov)
         print(
-            f"{precision}: compile+first={tc:.1f}s best={min(times):.3f}s "
+            f"{arm}: compile+first={tc:.1f}s best={min(times):.3f}s "
             f"({batch/min(times):.1f} solves/s) "
-            f"iters med/max={int(np.median(iters))}/{iters.max()} "
+            f"polish iters med/max={int(np.median(iters))}/{iters.max()} "
             f"rms={float(np.sqrt(np.mean(ve**2))):.4f}px"
         )
 
-    i64, c64, cov64 = results["f64"]
-    imj, cmj, covmj = results["mixed_jac"]
-    print(
-        f"accuracy: max|dintr|={np.abs(i64 - imj).max():.3e} "
-        f"max rel dcost={np.abs(c64 - cmj).max() / np.abs(c64).max():.3e} "
-        f"max rel dcov={np.abs(cov64 - covmj).max() / max(np.abs(cov64).max(), 1e-300):.3e}"
-    )
+    if "f64" in results:
+        i64, c64, cov64 = results["f64"]
+        for arm, (ia, ca, cova) in results.items():
+            if arm == "f64":
+                continue
+            print(
+                f"{arm} vs f64: max|dintr|={np.abs(i64 - ia).max():.3e} "
+                f"max rel dcost={np.abs(c64 - ca).max() / np.abs(c64).max():.3e} "
+                f"max rel dcov={np.abs(cov64 - cova).max() / max(np.abs(cov64).max(), 1e-300):.3e}"
+            )
 
 
 if __name__ == "__main__":

@@ -7,6 +7,8 @@ equivalent to dropping them for least-squares and null-space problems.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 _SVD_RCOND = 1e-15
@@ -58,10 +60,25 @@ def svd_lstsq(a, b, rcond: float = _SVD_RCOND):
 # column-loop kernels whose per-op dispatch cost dwarfs the ~100 flops of a
 # 6x6 factorization (measured: the damped 6x6/10x10 stage was 30% of a
 # B=256 intrinsics LM iteration, benchmarks/exp_profile_iter.py). For
-# static n <= _UNROLL_MAX the Cholesky-Crout recurrence is emitted as fully
-# unrolled elementwise ops instead — XLA fuses them into a handful of
+# static n in _UNROLL_SIZES the Cholesky-Crout recurrence is emitted as
+# fully unrolled elementwise ops instead — XLA fuses them into a handful of
 # kernels over the batch dims. Same math as Cholesky+cho_solve to roundoff.
-_UNROLL_MAX = 12
+#
+# The size set is MEASURED, not a threshold: unrolling the 6x6 per-view
+# blocks and the 10x10 Schur system is a ~20% win on the B=256 intrinsics
+# bench (133.5 -> 146.8 solves/s for the 10x10 alone), but unrolling the
+# 8x8 homography system at B=4096 is a 3x LOSS (76.6k vs 219.6k solves/s:
+# at that batch the column-loop kernels amortize while the n^2/2 unrolled
+# elementwise kernels thrash HBM). Override with CALIB_SPD_UNROLL_SIZES
+# (comma list) or CALIB_SPD_UNROLL_MAX=k (shorthand for {1..k}) for A/B.
+if "CALIB_SPD_UNROLL_MAX" in os.environ:
+    _UNROLL_SIZES = frozenset(range(1, int(os.environ["CALIB_SPD_UNROLL_MAX"]) + 1))
+else:
+    _UNROLL_SIZES = frozenset(
+        int(s)
+        for s in os.environ.get("CALIB_SPD_UNROLL_SIZES", "1,2,3,4,5,6,10").split(",")
+        if s.strip()
+    )
 
 
 def _chol_unrolled(a, n):
@@ -103,11 +120,11 @@ def _chol_solve_vec(l, inv_diag, bs, n):
 def spd_solve(a, b):
     """Solve SPD system via Cholesky (TPU-f64 safe).
 
-    Small static n unrolls to fused elementwise ops (see _UNROLL_MAX note);
+    Small static n unrolls to fused elementwise ops (see _UNROLL_SIZES note);
     larger systems use the XLA cholesky + triangular-solve kernels.
     """
     n = a.shape[-1]
-    if n <= _UNROLL_MAX:
+    if n in _UNROLL_SIZES:
         l, inv_diag = _chol_unrolled(a, n)
         if b.ndim == a.ndim:  # matrix RHS (..., n, m)
             cols = []
@@ -130,7 +147,7 @@ def spd_inverse(a):
     larger: XLA cholesky solve against I.
     """
     n = a.shape[-1]
-    if n <= _UNROLL_MAX:
+    if n in _UNROLL_SIZES:
         l, inv_diag = _chol_unrolled(a, n)
         # forward-substitute L W = I column by column -> W = L^-1
         w = [[None] * n for _ in range(n)]  # w[i][c] = (L^-1)[i, c]

@@ -33,6 +33,12 @@ class IntrinsicsOptimOptions:
     bounds: CalibrationBounds | None = None
     fixed_distortion_indices: tuple = ()
     fixed_distortion_values: tuple = ()
+    # coarse-phase tolerance for precision="mixed"/"mixed_jac": how far the
+    # f32(-Jacobian) phase runs before the f64 polish takes over. Too tight
+    # wastes iterations grinding at the f32 floor (linear convergence); too
+    # loose shifts work onto the expensive f64 phase. Tuned by sweep
+    # (benchmarks/exp_mixed_jac.py); never looser than core.epsilon.
+    mixed_coarse_epsilon: float = 1e-4
 
 
 def make_manifold(pc: int, num_views: int) -> ProductManifold:
@@ -203,7 +209,7 @@ def optimize_intrinsics_device(
             # FLOPs bulk (jacfwd tangents + gram einsums) from bf16 f64
             # -emulation to native f32 MXU throughput.
             coarse = dataclasses.replace(
-                opts.core, epsilon=max(1e-7, opts.core.epsilon),
+                opts.core, epsilon=max(opts.mixed_coarse_epsilon, opts.core.epsilon),
                 max_iterations=min(30, opts.core.max_iterations),
             )
             s32 = lm_schur.lm_core_schur(
@@ -216,7 +222,7 @@ def optimize_intrinsics_device(
             intr_c, quats_c, trans_c = s32.xg, s32.quats, s32.trans
         if precision == "mixed":
             coarse = dataclasses.replace(
-                opts.core, epsilon=max(1e-5, opts.core.epsilon),
+                opts.core, epsilon=max(opts.mixed_coarse_epsilon, opts.core.epsilon),
                 max_iterations=min(30, opts.core.max_iterations),
             )
             s32 = lm_schur.lm_core_schur(
@@ -251,7 +257,7 @@ def optimize_intrinsics_device(
             mask32 = mask.astype(jnp.float32)
             res32 = lambda x: _residual_flat(model, x, obj32, uv32, mask32, pc, v)
             coarse = dataclasses.replace(
-                opts.core, epsilon=max(1e-5, opts.core.epsilon),
+                opts.core, epsilon=max(opts.mixed_coarse_epsilon, opts.core.epsilon),
                 max_iterations=min(30, opts.core.max_iterations),
             )
             out32 = lm.lm_core(
