@@ -70,6 +70,7 @@ def main(argv=None) -> int:
         report = pipeline.execute(loader, context)
         context.artifacts["pipeline_summary"] = report_to_json(report)
 
+        mc_failed = False
         if "multicam" in config_json:
             mc = config_json["multicam"]
             rig_jsons = mc if isinstance(mc, list) else [mc]
@@ -79,8 +80,21 @@ def main(argv=None) -> int:
             }
             facade = MultiCameraCalibrationFacade()
             mc_artifacts = context.artifacts.setdefault("multicam", {})
-            for rig in rigs:
-                run = facade.calibrate(rig, det_by_sensor, context.intrinsic_results)
+            # fleet dispatch: one batched DLT+LM per rig shape bucket
+            # (pipeline/fleet.py::extrinsics_fleet) instead of one per rig
+            runs = facade.calibrate_many(
+                [(rig, det_by_sensor, context.intrinsic_results) for rig in rigs]
+            )
+            for rig, run in zip(rigs, runs):
+                if isinstance(run, Exception):
+                    # pre-fleet contract: a facade exception exited 1; keep
+                    # the exit code but still report the other rigs
+                    print(f"Multicam calibration failed: {run}", file=sys.stderr)
+                    mc_artifacts[rig.rig_id or "rig0"] = {
+                        "success": False, "error": str(run),
+                    }
+                    mc_failed = True
+                    continue
                 entry = {
                     "success": run.success,
                     "requested_views": run.requested_views,
@@ -104,7 +118,7 @@ def main(argv=None) -> int:
 
         Path(args.output).write_text(json.dumps(context.artifacts, indent=2) + "\n")
         print(f"Calibration artifacts written to {args.output}")
-        return 0 if report.success else 1
+        return 0 if (report.success and not mc_failed) else 1
     except Exception as ex:  # noqa: BLE001
         print(f"Calibration pipeline failed: {ex}", file=sys.stderr)
         return 1

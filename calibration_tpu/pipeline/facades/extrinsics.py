@@ -357,3 +357,88 @@ class MultiCameraCalibrationFacade:
         )
         result.success = result.optimization.core.success
         return result
+
+    def calibrate_many(self, items) -> list:
+        """Fleet variant of ``calibrate``: one batched DLT+LM dispatch per
+        (V, C, N, options) shape bucket instead of one per rig (same
+        redesign as StereoCalibrationFacade.calibrate_many — the reference
+        loops rigs serially through the facade).
+
+        items: sequence of ``calibrate`` argument tuples
+        (cfg, detections_by_sensor, intrinsics_by_sensor). Returns one
+        MultiCameraCalibrationRunResult (or the raised Exception) per item,
+        in order."""
+        from .. import fleet
+
+        results: list = [None] * len(items)
+        jobs, job_slots = [], []
+        for i, (cfg, detections_by_sensor, intrinsics_by_sensor) in enumerate(items):
+            try:
+                result = MultiCameraCalibrationRunResult(
+                    requested_views=len(cfg.views), sensors=list(cfg.sensors)
+                )
+                for sid in cfg.sensors:
+                    intr = intrinsics_by_sensor.get(sid)
+                    if intr is None or intr.refine_result is None:
+                        raise RuntimeError(
+                            "MultiCameraCalibrationFacade: intrinsics not available "
+                            f"for sensor: {sid}"
+                        )
+                lookup = {
+                    sid: {img.file: img for img in det.images}
+                    for sid, det in detections_by_sensor.items()
+                }
+                views_raw = []
+                for sel in cfg.views:
+                    multi = []
+                    ok = True
+                    for sid in cfg.sensors:
+                        fname = sel.images.get(sid)
+                        img = lookup.get(sid, {}).get(fname) if fname else None
+                        if img is None:
+                            ok = False
+                            break
+                        view = make_planar_arrays(img)
+                        if view[0].shape[0] < 4:
+                            ok = False
+                            break
+                        multi.append(view)
+                    if ok:
+                        views_raw.append(multi)
+                result.used_views = len(views_raw)
+                results[i] = result
+                if not views_raw:
+                    continue
+                obj, uv, mask = _pack_multicam(views_raw)
+                cameras = np.stack(
+                    [intrinsics_by_sensor[sid].refine_result.camera for sid in cfg.sensors]
+                )
+                jobs.append(fleet.ExtrinsicsJob(
+                    obj=obj, uv=uv, mask=mask, cameras=cameras, opts=cfg.options
+                ))
+                job_slots.append(i)
+            except Exception as ex:  # noqa: BLE001 — per-rig isolation
+                results[i] = ex
+
+        try:
+            solved = fleet.extrinsics_fleet(jobs) if jobs else []
+        except Exception:  # pragma: no cover — shape/compile failure fallback
+            solved = []
+            for job in jobs:
+                try:
+                    solved.append(_run_extrinsic_estimation_packed(job))
+                except Exception as ex:  # noqa: BLE001
+                    solved.append(ex)
+
+        for slot, item in zip(job_slots, solved):
+            if isinstance(item, Exception):
+                results[slot] = item
+                continue
+            (init_c, init_r), opt = item
+            result = results[slot]
+            result.initial_guess = ExtrinsicPosesOut(
+                np.asarray(init_c), np.asarray(init_r)
+            )
+            result.optimization = opt
+            result.success = opt.core.success
+        return results

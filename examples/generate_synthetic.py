@@ -149,6 +149,22 @@ def main(outdir="examples/data"):
                         }
                     ]
                 },
+                "multicam": [
+                    {
+                        "rig_id": "rig0",
+                        "sensors": ["cam0", "cam1"],
+                        "views": [
+                            {
+                                "images": {
+                                    "cam0": f"cam0_img_{i:03d}.png",
+                                    "cam1": f"cam1_img_{i:03d}.png",
+                                }
+                            }
+                            for i in range(10)
+                        ],
+                        "options": {"optimize_intrinsics": True},
+                    }
+                ],
             },
             indent=2,
         )

@@ -661,3 +661,72 @@ def test_stereo_facade_fleet_matches_serial():
         # GT recovery: relative pose cam1<-cam0 (gauge: cam0 = identity)
         assert synth.rot_err_deg(fr.optimization.c_se3_r[1], gt_offsets[p]) < 0.05
         assert synth.trans_err(fr.optimization.c_se3_r[1], gt_offsets[p]) < 1e-3
+
+
+def test_multicam_facade_fleet_matches_serial():
+    """MultiCameraCalibrationFacade.calibrate_many (C=3 rig through
+    pipeline/fleet.py::extrinsics_fleet) must match per-rig calibrate and
+    recover the ground-truth camera offsets."""
+    from calibration_tpu.optim.core import OptimResult
+    from calibration_tpu.optim.extrinsics import ExtrinsicOptions
+    from calibration_tpu.optim.intrinsics import IntrinsicsOptimizationResult
+    from calibration_tpu.pipeline.facades.extrinsics import (
+        MultiCameraCalibrationFacade,
+        MultiCameraRigConfig,
+        MultiCameraViewSelection,
+    )
+    from calibration_tpu.pipeline.facades.intrinsics import (
+        IntrinsicCalibrationOutputs,
+    )
+
+    obj = synth.make_target_grid(6, 8, 0.04)
+    v = 6
+    sensors = ["s0", "s1", "s2"]
+    offsets = [
+        np.eye(4),
+        synth.euler_pose(0.02, -0.3, 0.01, [-0.2, 0.0, 0.02]),
+        synth.euler_pose(-0.01, 0.25, -0.02, [0.18, 0.03, -0.01]),
+    ]
+    intr = np.asarray(synth.default_camera()).copy()
+    intr[5:] = 0.0  # distortion-free: see test_stereo_facade_fleet_matches_serial
+    poses_ref = np.asarray(synth.circle_views(v))
+
+    dets, intrs = {}, {}
+    for sid, off in zip(sensors, offsets):
+        poses = np.einsum("ij,vjk->vik", off, poses_ref)
+        dets[sid] = _detections_from_views(
+            jnp.asarray(intr), jnp.asarray(poses), obj, sensor_id=sid
+        )
+        intrs[sid] = IntrinsicCalibrationOutputs(
+            refine_result=IntrinsicsOptimizationResult(
+                core=OptimResult(success=True), camera=intr,
+                c_se3_t=np.zeros((v, 4, 4)), view_errors=np.zeros(v),
+            )
+        )
+
+    cfg = MultiCameraRigConfig(
+        rig_id="rig0", sensors=sensors,
+        views=[
+            MultiCameraViewSelection(
+                images={sid: f"img_{i:03d}.png" for sid in sensors}
+            )
+            for i in range(v)
+        ],
+        options=ExtrinsicOptions(
+            core=OptimOptions(max_iterations=60, compute_covariance=False)
+        ),
+    )
+    facade = MultiCameraCalibrationFacade()
+    (fr,) = facade.calibrate_many([(cfg, dets, intrs)])
+    assert not isinstance(fr, Exception), fr
+    sr = facade.calibrate(cfg, dets, intrs)
+    assert fr.success and sr.success
+    assert fr.used_views == sr.used_views == v
+    np.testing.assert_allclose(
+        fr.optimization.core.final_cost, sr.optimization.core.final_cost,
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(fr.optimization.c_se3_r, sr.optimization.c_se3_r, atol=1e-4)
+    for c in range(3):
+        assert synth.rot_err_deg(fr.optimization.c_se3_r[c], offsets[c]) < 0.05
+        assert synth.trans_err(fr.optimization.c_se3_r[c], offsets[c]) < 1e-3
