@@ -16,6 +16,7 @@ Covariance = scaled inverse JtJ lifted to ambient coordinates
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -25,7 +26,17 @@ from ..ops import linalg
 from .core import OptimOptions
 from .manifold import ProductManifold
 
-_MU_INIT = 1e-4
+# Initial Nielsen damping for the Jacobi-scaled system (diag ~ 1, so this
+# is tau directly). Ceres' default is 1e-4; measured on the config-2
+# problem set (benchmarks/exp_mu_init.py, backend-independent iteration
+# counts) 1e-6 converges to the SAME minimum (cost parity ~1e-12) in 6
+# median linearizations vs 9 — each linearization is the dominant
+# per-iteration cost (jacfwd+gram ~60%), and with the cached-linearization
+# retry loop a too-optimistic first trial only costs a cheap re-solve, so
+# starting closer to Gauss-Newton is nearly free insurance. 1e-8 saves one
+# more iteration but leaves less damping headroom for poor seeds.
+# CALIB_LM_MU_INIT overrides for A/B sweeps.
+_MU_INIT = float(os.environ.get("CALIB_LM_MU_INIT", "1e-6"))
 _MU_MIN = 1e-32
 _MU_MAX = 1e32
 

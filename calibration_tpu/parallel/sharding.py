@@ -25,7 +25,23 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = BATCH_AXIS) -
     return Mesh(np.array(devices), (axis_name,))
 
 
-def mesh_devices(n_devices: Optional[int] = None):
+def _transfer_ok(device) -> bool:
+    """True iff a tiny host->device transfer actually succeeds on ``device``.
+
+    Listing devices is NOT proof they work: a version-skewed TPU tunnel
+    enumerates fine and then fails every ``device_put`` with
+    FAILED_PRECONDITION "libtpu version mismatch" (the round-2 driver
+    failure, MULTICHIP_r02.json). Probing with a 1-element transfer is the
+    only reliable health check that doesn't compile anything.
+    """
+    try:
+        jax.device_put(np.zeros((1,)), device).block_until_ready()
+        return True
+    except Exception:
+        return False
+
+
+def mesh_devices(n_devices: Optional[int] = None, probe: bool = False):
     """Pick devices for a problem-batch mesh, preferring the backend that can
     actually field ``n_devices`` of them.
 
@@ -36,17 +52,22 @@ def mesh_devices(n_devices: Optional[int] = None):
     the default client is a (possibly version-skewed) TPU tunnel; committing
     an array through it is what a multi-chip dryrun must never do.
 
+    With ``probe=True`` a candidate backend is only accepted after a tiny
+    host->device transfer succeeds on it (see ``_transfer_ok``) — the
+    multi-chip dryrun uses this so a skewed-but-enumerable TPU pool falls
+    through to the CPU mesh instead of aborting at the first device_put.
+
     Returns the device list, or None if no backend has enough devices.
     """
     want = n_devices or 1
     default = jax.devices()
-    if len(default) >= want:
+    if len(default) >= want and (not probe or _transfer_ok(default[0])):
         return default[:want] if n_devices else default
     try:
         cpus = jax.devices("cpu")
     except RuntimeError:
         cpus = []
-    if len(cpus) >= want:
+    if len(cpus) >= want and (not probe or _transfer_ok(cpus[0])):
         return cpus[:want] if n_devices else cpus
     return None
 

@@ -138,3 +138,31 @@ def test_intrinsics_batch_sharded():
     assert intr_est.shape == (b, 10)
     np.testing.assert_allclose(intr_est[:, :4], np.tile(intr[:4], (b, 1)), atol=1e-4)
     assert np.asarray(view_err).max() < 1e-5
+
+
+def test_mesh_devices_probe_rejects_untransferable_backend(monkeypatch):
+    """A backend that ENUMERATES n devices but fails host->device transfers
+    (the round-2 driver failure: version-skewed libtpu tunnel raises
+    FAILED_PRECONDITION on every device_put) must be skipped by
+    mesh_devices(probe=True) in favour of the healthy CPU mesh."""
+
+    class _SkewedDevice:
+        platform = "tpu"  # enumerable, but any transfer to it raises
+
+    real_devices = jax.devices
+
+    def fake_devices(platform=None):
+        if platform is None:
+            return [_SkewedDevice() for _ in range(8)]
+        return real_devices(platform)
+
+    monkeypatch.setattr(sh.jax, "devices", fake_devices)
+    try:
+        # without the probe the skewed pool wins (documents the hazard)
+        assert sh.mesh_devices(8)[0].platform == "tpu"
+        picked = sh.mesh_devices(8, probe=True)
+    finally:
+        monkeypatch.undo()
+    assert picked is not None
+    assert all(d.platform == "cpu" for d in picked)
+    assert len(picked) == 8
