@@ -158,13 +158,20 @@ def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
     # same seed perturbation as bench_all.py::bench_intrinsics so the two
     # harnesses report comparable CPU numbers
     pert = intr_gt + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0])
-    t0 = time.time()
-    for i in range(b):
-        x0 = cb.intrinsics_x0(pert, poses0[i])
-        cb.solve_intrinsics_cpu(obj[i], uv[i], x0)
-    dt = time.time() - t0
+    # best of 2 passes: a single pass under transient host load (e.g. the
+    # remote-compile service still draining) understates the baseline and
+    # overstates vs_baseline — observed 4.1/s vs 24/s for identical code
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        for i in range(b):
+            x0 = cb.intrinsics_x0(pert, poses0[i])
+            cb.solve_intrinsics_cpu(obj[i], uv[i], x0)
+        times.append(time.time() - t0)
+    dt = min(times)
     print(
-        f"[bench] cpu baseline (analytic-jac TRF): {b} solves in {dt:.2f}s",
+        f"[bench] cpu baseline (analytic-jac TRF): {b} solves in {dt:.2f}s "
+        f"(passes: {', '.join(f'{t:.2f}' for t in times)})",
         file=sys.stderr,
     )
     return b / dt
