@@ -218,6 +218,34 @@ def bench_extrinsics():
         m[:3, 3] = cpu_res[i].x[3:6]
         rots.append(rot_err_deg(c_se3_r[i, 1], m))
         tras.append(float(np.abs(c_se3_r[i, 1, :3, 3] - m[:3, 3]).max()))
+
+    # --- same-minimum gate (same pattern as config 2): plain least squares
+    # (huber off) both sides, identical problems/seeds/gauge (cam0 + target0
+    # constant, skew frozen at seed), final costs through ONE shared numpy
+    # evaluator. Pins the rel-pose parity delta to the cost-flat planar
+    # fx/depth valley rather than solver disagreement.
+    n_gate = 2
+    opts_plain = ExtrinsicOptions(
+        core=OptimOptions(max_iterations=80, huber_delta=0.0, compute_covariance=False)
+    )
+    _, intr_g, c_g, r_g, _, _ = batched.extrinsics_batch(
+        p["obj"][:n_gate], p["uv"][:n_gate], p["intr0"][:n_gate],
+        p["c0"][:n_gate], p["r0"][:n_gate], opts=opts_plain,
+    )
+    intr_g, c_g, r_g = np.asarray(intr_g), np.asarray(c_g), np.asarray(r_g)
+    cost_rels = []
+    for i in range(n_gate):
+        r = cb.solve_extrinsics_cpu(
+            p["obj"][i], p["uv"][i], p["intr0"][i], p["c0"][i], p["r0"][i]
+        )
+        v, c = p["obj"][i].shape[0], p["obj"][i].shape[1]
+        cams_c, views_c, intrs_c = cb.extrinsics_unpack_x(
+            r.x, v, c, p["intr0"][i], p["r0"][i]
+        )
+        c_t = cb.extrinsics_plain_cost(c_g[i], r_g[i], intr_g[i], p["obj"][i], p["uv"][i])
+        c_c = cb.extrinsics_plain_cost(cams_c, views_c, intrs_c, p["obj"][i], p["uv"][i])
+        cost_rels.append(abs(c_t - c_c) / max(c_t, c_c, 1e-300))
+    cost_rel = float(max(cost_rels))
     return {
         "metric": "stereo_extrinsics_solves_per_sec",
         "value": round(b / dt, 2),
@@ -226,6 +254,8 @@ def bench_extrinsics():
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
         "parity_relpose_rot_deg": float(max(rots)),
         "parity_relpose_trans_m": float(max(tras)),
+        "parity_final_cost_rel": cost_rel,
+        "parity_cost_ok": bool(cost_rel <= 1e-7),
     }
 
 

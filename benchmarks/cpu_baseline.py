@@ -392,6 +392,55 @@ def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
                          gtol=tol.get("gtol", 1e-9))
 
 
+def extrinsics_unpack_x(x, v, c, intr0, r0):
+    """Unpack solve_extrinsics_cpu's x into (cams (C,4,4), views (V,4,4),
+    intrs (C,10)) — numpy mirror of its internal torch unpack (cam0 = I,
+    view0 = r0[0], skew frozen at the seed value)."""
+    x = np.asarray(x, float)
+    off = 0
+    cams = [np.eye(4)]
+    for _ in range(c - 1):
+        m = np.eye(4)
+        m[:3, :3] = so3_exp(x[off : off + 3])
+        m[:3, 3] = x[off + 3 : off + 6]
+        cams.append(m)
+        off += 6
+    views = [np.asarray(r0[0], float)]
+    for _ in range(v - 1):
+        m = np.eye(4)
+        m[:3, :3] = so3_exp(x[off : off + 3])
+        m[:3, 3] = x[off + 3 : off + 6]
+        views.append(m)
+        off += 6
+    i9 = x[off:].reshape(c, 9)
+    intrs = np.concatenate(
+        [i9[:, :4], np.asarray(intr0, float)[:, 4:5], i9[:, 4:]], axis=1
+    )
+    return np.stack(cams), np.stack(views), intrs
+
+
+def extrinsics_plain_cost(c_se3_r, r_se3_t, intrs, obj, uv):
+    """0.5 * sum(r^2) over every (view, cam) reprojection — the SHARED numpy
+    evaluator for the config-3 same-minimum gate (same Ceres final_cost
+    semantics as intrinsics_plain_cost, ceresutils.h:40)."""
+    v, c, n = obj.shape[0], obj.shape[1], obj.shape[2]
+    X = np.concatenate([obj, np.zeros((v, c, n, 1))], -1)
+    cost = 0.0
+    for ci in range(c):
+        intr = np.asarray(intrs[ci], float)
+        fx, fy, cx, cy, sk = intr[:5]
+        for vi in range(v):
+            m = np.asarray(c_se3_r[ci], float) @ np.asarray(r_se3_t[vi], float)
+            pc = X[vi, ci] @ m[:3, :3].T + m[:3, 3]
+            xn = pc[:, 0] / pc[:, 2]
+            yn = pc[:, 1] / pc[:, 2]
+            xd, yd, _, _ = distort_with_jac(xn, yn, intr[5:])
+            ru = fx * xd + sk * yd + cx - uv[vi, ci, :, 0]
+            rv = fy * yd + cy - uv[vi, ci, :, 1]
+            cost += float(np.sum(ru * ru) + np.sum(rv * rv))
+    return 0.5 * cost
+
+
 def solve_handeye_cpu(b_se3_g, c_se3_t, x0_pose, min_angle_deg=1.0, **tol):
     """AX=XB refinement over motion pairs (optimize_handeye semantics,
     6-vector residual log(RA RX RB^T RX^T) (+) ((RA - I) tX - (RX tB - tA))).

@@ -1,13 +1,13 @@
 """A/B sweep of the LM initial damping (CALIB_LM_MU_INIT) on the flagship
-config-2 problem, measured in ITERATION COUNTS — backend-independent, so it
-runs meaningfully on CPU while wall-clock tuning needs the chip. Each
-iteration costs one linearization (the dominant term, ~60% jacfwd+gram of a
-B=256 step, benchmarks/exp_profile_iter.py), so median iterations is a
-direct throughput multiplier.
+config-2 problem, measured in LINEARIZATION and TRIAL counts —
+backend-independent, so it runs meaningfully on CPU while wall-clock tuning
+needs the chip. Linearizations (jacfwd+gram, ~60% of a B=256 step per
+benchmarks/exp_profile_iter.py) dominate cost, so median linearizations is
+the primary throughput proxy; trials - linearizations counts rejected
+damping re-solves (each a cheap Schur re-solve + one residual eval).
 
-Also reports rejected-trial counts (extra residual evals inside the cached
--linearization retry loop) and final-cost parity vs the 1e-4 baseline so a
-faster arm is only adopted at the same minimum.
+Also reports final-cost parity vs the 1e-4 baseline so a faster arm is only
+adopted at the same minimum.
 
 Usage: python benchmarks/exp_mu_init.py [batch] [mu ...]
   (spawns one subprocess per mu — _MU_INIT is read at import time)
@@ -53,9 +53,9 @@ def solve(obj, uv):
     out, intr, poses, view_errors, cov, cov_ok = jax.vmap(fn)(
         obj, uv, mask, intr0, seed.c_se3_t
     )
-    return intr, out.cost, out.iterations, view_errors
+    return intr, out.cost, out.iterations, out.linearizations, view_errors
 
-intr, cost, iters, ve = (
+intr, cost, iters, lins, ve = (
     np.asarray(a) for a in solve(jnp.asarray(obj), jnp.asarray(uv))
 )
 print(json.dumps({
@@ -63,6 +63,9 @@ print(json.dumps({
     "iters_median": float(np.median(iters)),
     "iters_mean": float(iters.mean()),
     "iters_max": int(iters.max()),
+    "lin_median": float(np.median(lins)),
+    "lin_mean": float(lins.mean()),
+    "lin_max": int(lins.max()),
     "cost_sum": float(np.sum(cost)),
     "rms": float(np.sqrt(np.mean(ve ** 2))),
 }))
@@ -90,8 +93,10 @@ def main():
         rec = json.loads(line)
         results.append(rec)
         print(
-            f"mu={mu}: iters med/mean/max = {rec['iters_median']:.0f}/"
+            f"mu={mu}: trials med/mean/max = {rec['iters_median']:.0f}/"
             f"{rec['iters_mean']:.2f}/{rec['iters_max']}  "
+            f"linearizations med/mean/max = {rec['lin_median']:.0f}/"
+            f"{rec['lin_mean']:.2f}/{rec['lin_max']}  "
             f"cost_sum={rec['cost_sum']:.12e}  rms={rec['rms']:.4f}px"
         )
     base = next((r for r in results if float(r["mu"]) == 1e-4), None)

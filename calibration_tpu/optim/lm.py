@@ -28,14 +28,15 @@ from .manifold import ProductManifold
 
 # Initial Nielsen damping for the Jacobi-scaled system (diag ~ 1, so this
 # is tau directly). Ceres' default is 1e-4; measured on the config-2
-# problem set (benchmarks/exp_mu_init.py, backend-independent iteration
-# counts) 1e-6 converges to the SAME minimum (cost parity ~1e-12) in 6
-# median linearizations vs 9 — each linearization is the dominant
-# per-iteration cost (jacfwd+gram ~60%), and with the cached-linearization
-# retry loop a too-optimistic first trial only costs a cheap re-solve, so
-# starting closer to Gauss-Newton is nearly free insurance. 1e-8 saves one
-# more iteration but leaves less damping headroom for poor seeds.
-# CALIB_LM_MU_INIT overrides for A/B sweeps.
+# problem set (benchmarks/exp_mu_init.py, backend-independent counts,
+# trials and linearizations reported separately): 1e-6 converges to the
+# SAME minimum (cost parity ~1e-12) in median 6 linearizations vs 9 at
+# 1e-4, with ZERO rejected trials in any arm (trials == linearizations),
+# so the optimistic start costs nothing. For a vmapped batch the
+# while_loop runs to the batch MAX, which is the stat that sets
+# wall-clock: 7 at 1e-6 vs 11 at 1e-4 (1.57x). 1e-8 is not better where
+# it counts (median 5 but the same max 7) and leaves less damping
+# headroom for poor seeds. CALIB_LM_MU_INIT overrides for A/B sweeps.
 _MU_INIT = float(os.environ.get("CALIB_LM_MU_INIT", "1e-6"))
 _MU_MIN = 1e-32
 _MU_MAX = 1e32
@@ -46,10 +47,11 @@ class LMState(NamedTuple):
     mu: jnp.ndarray  # damping
     nu: jnp.ndarray  # damping growth factor
     cost: jnp.ndarray
-    it: jnp.ndarray
+    it: jnp.ndarray  # TRIALS: accepted steps + rejected damping re-solves
     done: jnp.ndarray
     termination: jnp.ndarray  # TerminationType code
     grad_max: jnp.ndarray
+    lin: jnp.ndarray  # LINEARIZATIONS: residual+Jacobian evaluations
 
 
 class _TrialState(NamedTuple):
@@ -71,9 +73,13 @@ class LMOutput(NamedTuple):
     x: jnp.ndarray
     cost: jnp.ndarray
     initial_cost: jnp.ndarray
-    iterations: jnp.ndarray
+    iterations: jnp.ndarray  # trials (Ceres Summary.iterations analogue)
     termination: jnp.ndarray  # 0 no-conv, 1 ftol, 2 gtol, 3 xtol, 4 failure
     success: jnp.ndarray
+    # residual+Jacobian evaluations — the dominant per-iteration cost; with
+    # the cached-linearization retry loop, iterations >= linearizations and
+    # the gap counts rejected (cheap re-solve) trials
+    linearizations: jnp.ndarray
 
 
 def _robust_weights(r, block_ids, num_blocks, huber_delta):
@@ -260,7 +266,7 @@ def make_lm_step(
         tf = jax.lax.while_loop(trial_cond, trial, t0)
         return LMState(
             tf.x, tf.mu, tf.nu, tf.cost, tf.it, tf.termination > 0,
-            tf.termination, grad_max,
+            tf.termination, grad_max, state.lin + 1,
         )
 
     def cond(state: LMState):
@@ -275,6 +281,7 @@ def make_lm_step(
         done=jnp.asarray(False),
         termination=jnp.asarray(0, jnp.int32),
         grad_max=jnp.asarray(jnp.inf, dtype),
+        lin=jnp.asarray(0, jnp.int32),
     )
     return init, step, cond
 
@@ -333,6 +340,7 @@ def lm_core(
         iterations=final.it,
         termination=final.termination,
         success=success,
+        linearizations=final.lin,
     )
 
 

@@ -47,10 +47,11 @@ class SchurState(NamedTuple):
     mu: jnp.ndarray
     nu: jnp.ndarray
     cost: jnp.ndarray
-    it: jnp.ndarray
+    it: jnp.ndarray  # trials: accepted steps + rejected damping re-solves
     done: jnp.ndarray
     termination: jnp.ndarray
     grad_max: jnp.ndarray
+    lin: jnp.ndarray  # linearizations: per-view Jacobian evaluations
 
 
 class _TrialState(NamedTuple):
@@ -81,9 +82,10 @@ class SchurOutput(NamedTuple):
     trans: jnp.ndarray
     cost: jnp.ndarray
     initial_cost: jnp.ndarray
-    iterations: jnp.ndarray
+    iterations: jnp.ndarray  # trials (see LMOutput)
     termination: jnp.ndarray
     success: jnp.ndarray
+    linearizations: jnp.ndarray
 
     def as_lm_output(self, pack) -> LMOutput:
         return LMOutput(
@@ -93,6 +95,7 @@ class SchurOutput(NamedTuple):
             iterations=self.iterations,
             termination=self.termination,
             success=self.success,
+            linearizations=self.linearizations,
         )
 
 
@@ -198,9 +201,10 @@ def lm_core_schur(
         assumes the global retraction is the identity derivative at 0 (euclid
         global, box bounds inactive). None -> jacfwd (the generic path).
       jac_dtype: optional dtype for the JACOBIAN evaluation only (e.g.
-        jnp.float32). The iterate, residuals, cost and acceptance test stay
-        in the state dtype (f64), so every accepted step is a true f64 cost
-        decrease — only the step *direction* is approximate. On TPU v5e the
+        jnp.float32), applied to BOTH the jacfwd and the analytic
+        ``jac_view_fn`` paths. The iterate, residuals, cost and acceptance
+        test stay in the state dtype (f64), so every accepted step is a
+        true f64 cost decrease — only the step *direction* is approximate. On TPU v5e the
         jacfwd dot_generals then run at native f32 MXU speed instead of
         bf16 f64-emulation. An approximate direction slows final convergence
         from quadratic to ~linear at the f32 level, so pair a f32-J phase
@@ -240,7 +244,7 @@ def lm_core_schur(
             xg = jnp.minimum(xg, jnp.asarray(upper_g, xg.dtype))
         return xg
 
-    cast_jac = jac_dtype is not None and jac_view_fn is None
+    cast_jac = jac_dtype is not None
     if cast_jac:
         view_data_j = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jac_dtype), view_data
@@ -294,7 +298,18 @@ def lm_core_schur(
 
         zero = jnp.zeros((tan6,), dtype)
         r = state.r  # residuals at the current iterate, carried from init/accept
-        if jac_view_fn is not None:
+        if jac_view_fn is not None and cast_jac:
+            # analytic Jacobian evaluated in jac_dtype (same mixed-precision
+            # contract as the jacfwd branch below: direction approximate,
+            # iterate/cost/acceptance stay f64)
+            jac = jax.vmap(
+                lambda q, t, *d: jac_view_fn(state.xg.astype(jac_dtype), q, t, *d)
+            )(
+                state.quats.astype(jac_dtype),
+                state.trans.astype(jac_dtype),
+                *view_data_j,
+            )
+        elif jac_view_fn is not None:
             jac = jax.vmap(
                 lambda q, t, *d: jac_view_fn(state.xg, q, t, *d)
             )(state.quats, state.trans, *view_data)
@@ -457,6 +472,7 @@ def lm_core_schur(
             done=tf.termination > 0,
             termination=tf.termination,
             grad_max=grad_max,
+            lin=state.lin + 1,
         )
 
     def cond(state: SchurState):
@@ -477,6 +493,7 @@ def lm_core_schur(
         done=jnp.asarray(False),
         termination=jnp.asarray(0, jnp.int32),
         grad_max=jnp.asarray(jnp.inf, dtype),
+        lin=jnp.asarray(0, jnp.int32),
     )
     final = jax.lax.while_loop(cond, step, init)
     return SchurOutput(
@@ -488,4 +505,5 @@ def lm_core_schur(
         iterations=final.it,
         termination=final.termination,
         success=final.termination > 0,
+        linearizations=final.lin,
     )

@@ -60,16 +60,26 @@ def mesh_devices(n_devices: Optional[int] = None, probe: bool = False):
     Returns the device list, or None if no backend has enough devices.
     """
     want = n_devices or 1
-    default = jax.devices()
-    if len(default) >= want and (not probe or _transfer_ok(default[0])):
-        return default[:want] if n_devices else default
+
+    def pick(devs):
+        if len(devs) < want:
+            return None
+        chosen = devs[:want] if n_devices else devs
+        # probe EVERY chosen device: per-chip skew exists (a pool where
+        # device 0 transfers fine while others raise) and the first
+        # device_put onto an unprobed device would abort the dryrun anyway
+        if probe and not all(_transfer_ok(d) for d in chosen):
+            return None
+        return chosen
+
+    got = pick(jax.devices())
+    if got is not None:
+        return got
     try:
         cpus = jax.devices("cpu")
     except RuntimeError:
         cpus = []
-    if len(cpus) >= want and (not probe or _transfer_ok(cpus[0])):
-        return cpus[:want] if n_devices else cpus
-    return None
+    return pick(cpus)
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:

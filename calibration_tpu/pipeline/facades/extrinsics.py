@@ -94,21 +94,34 @@ def _pack_multicam(views_raw: List[List[tuple]]) -> tuple:
     return obj, uv, mask
 
 
-def _run_extrinsic_estimation(views_raw, cameras, options: ExtrinsicOptions):
-    """DLT seed + joint LM (facades/extrinsics.cpp:120-133)."""
+def _seed_and_optimize_extrinsics(obj, uv, mask, cameras, options: ExtrinsicOptions):
+    """The ONE serial DLT-seed + joint-LM recipe (facades/extrinsics.cpp:
+    120-133): normalize with K, estimate_extrinsic_dlt, optimize. Both the
+    facade path and the fleet fallback delegate here so the seed recipe can
+    never desynchronize between them (fleet._extrinsics_fleet_jit is the
+    same recipe vmapped on-device, held equal by the fleet==serial tests).
+    Returns ((init_c, init_r) numpy, optimization)."""
     import jax.numpy as jnp
 
-    obj, uv, mask = _pack_multicam(views_raw)
     kmtxs = jnp.asarray(cameras)[:, :5]
     norm_uv = cm.normalize(kmtxs[None, :, None, :], jnp.asarray(uv))
     initial = extrinsics_linear.estimate_extrinsic_dlt(
         jnp.asarray(obj), norm_uv, jnp.asarray(mask)
     )
     optimization = optimize_extrinsics(
-        obj, uv, cameras, initial.c_se3_r, initial.r_se3_t, mask=jnp.asarray(mask), opts=options
+        obj, uv, cameras, initial.c_se3_r, initial.r_se3_t,
+        mask=jnp.asarray(mask), opts=options,
     )
-    guess = ExtrinsicPosesOut(np.asarray(initial.c_se3_r), np.asarray(initial.r_se3_t))
-    return guess, optimization
+    return (np.asarray(initial.c_se3_r), np.asarray(initial.r_se3_t)), optimization
+
+
+def _run_extrinsic_estimation(views_raw, cameras, options: ExtrinsicOptions):
+    """DLT seed + joint LM (facades/extrinsics.cpp:120-133)."""
+    obj, uv, mask = _pack_multicam(views_raw)
+    (init_c, init_r), optimization = _seed_and_optimize_extrinsics(
+        obj, uv, mask, cameras, options
+    )
+    return ExtrinsicPosesOut(init_c, init_r), optimization
 
 
 class StereoCalibrationFacade:
@@ -260,18 +273,9 @@ class StereoCalibrationFacade:
 def _run_extrinsic_estimation_packed(job):
     """Serial fallback for one packed ExtrinsicsJob: same return shape as
     one extrinsics_fleet element ((init_c, init_r), optimization)."""
-    import jax.numpy as jnp
-
-    kmtxs = jnp.asarray(job.cameras)[:, :5]
-    norm_uv = cm.normalize(kmtxs[None, :, None, :], jnp.asarray(job.uv))
-    initial = extrinsics_linear.estimate_extrinsic_dlt(
-        jnp.asarray(job.obj), norm_uv, jnp.asarray(job.mask)
+    return _seed_and_optimize_extrinsics(
+        job.obj, job.uv, job.mask, job.cameras, job.opts
     )
-    opt = optimize_extrinsics(
-        job.obj, job.uv, job.cameras, initial.c_se3_r, initial.r_se3_t,
-        mask=jnp.asarray(job.mask), opts=job.opts,
-    )
-    return (np.asarray(initial.c_se3_r), np.asarray(initial.r_se3_t)), opt
 
 
 @dataclasses.dataclass

@@ -376,8 +376,10 @@ class HandEyeCalibrationStage(CalibrationStage):
         overall, any_success = True, False
         rigs_json = []
         for rig, rig_json, _, sensors_json in rigs:
-            rig_results = context.handeye_results.get(rig.rig_id, {})
-            rig_any = bool(rig_results)
+            # per-rig success from THIS rig's sensor reports — never from
+            # context.handeye_results, whose rig_id key another rig with a
+            # duplicate (e.g. default-empty) rig_id may have populated
+            rig_any = any(sj.get("status") == "ok" for sj in sensors_json)
             rig_success = all(
                 sj.get("status") == "ok" for sj in sensors_json
             ) and bool(sensors_json)

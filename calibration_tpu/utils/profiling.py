@@ -38,9 +38,15 @@ class Timer:
 
 
 def lm_cost_trace(residual_fn, x0, manifold, *, options=None, **lm_kwargs):
-    """Run LM recording the cost after every iteration — the per-iteration
-    trace the reference lacks (it only stores Ceres' final BriefReport,
-    src/estimation/detail/ceresutils.h:41).
+    """Run LM recording the cost after every LINEARIZATION — the
+    per-iteration trace the reference lacks (it only stores Ceres' final
+    BriefReport, src/estimation/detail/ceresutils.h:41).
+
+    Since the cached-linearization restructure, one scanned step = one
+    linearization plus its damping-retry loop, so ``costs`` has one entry
+    per linearization; the index matching the returned
+    ``LMOutput.linearizations``, NOT ``LMOutput.iterations`` (which counts
+    trials, i.e. accepted steps + rejected re-solves).
 
     Scans the SAME ``LMState -> LMState`` step ``lm_core`` runs under
     ``while_loop`` — (x, mu, nu, termination) carry across iterations — so the
@@ -81,5 +87,6 @@ def lm_cost_trace(residual_fn, x0, manifold, *, options=None, **lm_kwargs):
         iterations=final.it,
         termination=final.termination,
         success=final.termination > 0,
+        linearizations=final.lin,
     )
     return out, costs

@@ -107,6 +107,22 @@ def test_solve_extrinsics_cpu_recovers_gt():
     np.testing.assert_allclose(res.x[3:6], t_rel, atol=1e-7)
 
 
+def test_extrinsics_plain_cost_matches_solver_cost():
+    """extrinsics_unpack_x + extrinsics_plain_cost must reproduce the torch
+    residual's own 0.5*sum(r^2) EXACTLY at the solution — the integrity
+    check behind the config-3 same-minimum gate (bench_all.bench_extrinsics)."""
+    pytest.importorskip("torch")
+    from benchmarks import problems as pb
+
+    p = pb.stereo_problems(1, views=4, noise=0.1)
+    obj, uv = p["obj"][0], p["uv"][0]
+    r = cb.solve_extrinsics_cpu(obj, uv, p["intr0"][0], p["c0"][0], p["r0"][0])
+    v, c = obj.shape[0], obj.shape[1]
+    cams, views, intrs = cb.extrinsics_unpack_x(r.x, v, c, p["intr0"][0], p["r0"][0])
+    cost = cb.extrinsics_plain_cost(cams, views, intrs, obj, uv)
+    np.testing.assert_allclose(cost, r.cost, rtol=1e-12)
+
+
 def test_solve_handeye_cpu_recovers_gt():
     pytest.importorskip("torch")  # torch-autodiff baselines; CI may lack torch
     sim = synth.make_handeye_sequence(num_poses=10)

@@ -730,3 +730,41 @@ def test_multicam_facade_fleet_matches_serial():
     for c in range(3):
         assert synth.rot_err_deg(fr.optimization.c_se3_r[c], offsets[c]) < 0.05
         assert synth.trans_err(fr.optimization.c_se3_r[c], offsets[c]) < 1e-3
+
+
+def test_handeye_stage_duplicate_rig_ids_do_not_cross_contaminate():
+    """Two rigs sharing a rig_id (e.g. both left at a default ''): the rig
+    whose sensors all fail must report 'failed' even though the other rig's
+    successes sit under the same context.handeye_results key (regression:
+    rig_any was derived from that shared dict and leaked success across)."""
+    dets, _, he_rigs, _, cam_cfgs = _multirig_fixture(num_rigs=1, num_poses=8)
+    import dataclasses as _dc
+
+    good = _dc.replace(he_rigs[0], rig_id="")
+    # same rig_id, sensor that has no intrinsics/detections -> all-fail rig
+    bad_obs = [
+        _dc.replace(o, images={"ghost": f}) for o in he_rigs[0].observations
+        for f in [next(iter(o.images.values()))]
+    ]
+    bad = _dc.replace(he_rigs[0], rig_id="", sensors=["ghost"], observations=bad_obs)
+
+    ctx = PipelineContext()
+    ctx.set_intrinsics_config(
+        IntrinsicCalibrationConfig(
+            options=IntrinsicCalibrationOptions(
+                optim_options=FAST_OPTS, min_corners_per_view=10
+            ),
+            cameras=cam_cfgs,
+        )
+    )
+    ctx.set_handeye_config(HandEyePipelineConfig(rigs=[good, bad]))
+    pipeline = CalibrationPipeline()
+    pipeline.add_stage(IntrinsicStage())
+    pipeline.add_stage(HandEyeCalibrationStage())
+    report = pipeline.execute(
+        _StaticLoader(CalibrationDataset(planar_cameras=list(dets))), ctx
+    )
+    rigs_json = report.stages[1].summary["rigs"]
+    assert len(rigs_json) == 2
+    assert rigs_json[0]["status"] == "ok"
+    assert rigs_json[1]["status"] == "failed", rigs_json[1]
