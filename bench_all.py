@@ -329,6 +329,37 @@ def bench_bundle():
         m[:3, 3] = cpu_res[i].x[3:6]
         rots.append(rot_err_deg(g_se3_c[i, 0], m))
         tras.append(float(np.abs(g_se3_c[i, 0, :3, 3] - m[:3, 3]).max()))
+
+    # --- same-minimum gate (config-2/3 pattern): plain least squares both
+    # sides (huber off, fixed intrinsics, same seeds), final costs through
+    # ONE shared numpy evaluator of the X^-1 g^-1 T reprojection chain.
+    n_gate = 2
+    opts_plain = BundleOptions(
+        core=OptimOptions(max_iterations=80, huber_delta=0.0, compute_covariance=False)
+    )
+    intrs_b = np.tile(p["intr"][None, None], (n_gate, 1, 1))
+    _, _, g_g, b_g, _, _ = batched.bundle_batch(
+        p["obj"][:n_gate], p["uv"][:n_gate], p["bg"][:n_gate],
+        cam_idx[:n_gate], intrs_b, p["g0"][:n_gate, None], p["b0"][:n_gate],
+        opts=opts_plain,
+    )
+    g_g, b_g = np.asarray(g_g), np.asarray(b_g)
+    cost_rels = []
+    for i in range(n_gate):
+        r = cb.solve_bundle_cpu(
+            p["obj"][i], p["uv"][i], p["bg"][i], p["intr"], p["g0"][i], p["b0"][i]
+        )
+        xm, tm = np.eye(4), np.eye(4)
+        xm[:3, :3] = cb.so3_exp(r.x[:3]); xm[:3, 3] = r.x[3:6]
+        tm[:3, :3] = cb.so3_exp(r.x[6:9]); tm[:3, 3] = r.x[9:12]
+        c_t = cb.bundle_plain_cost(
+            g_g[i, 0], b_g[i], p["intr"], p["obj"][i], p["uv"][i], p["bg"][i]
+        )
+        c_c = cb.bundle_plain_cost(
+            xm, tm, p["intr"], p["obj"][i], p["uv"][i], p["bg"][i]
+        )
+        cost_rels.append(abs(c_t - c_c) / max(c_t, c_c, 1e-300))
+    cost_rel = float(max(cost_rels))
     return {
         "metric": "bundle_handeye_target_solves_per_sec",
         "value": round(b / dt, 2),
@@ -337,6 +368,8 @@ def bench_bundle():
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
         "parity_handeye_rot_deg": float(max(rots)),
         "parity_handeye_trans_m": float(max(tras)),
+        "parity_final_cost_rel": cost_rel,
+        "parity_cost_ok": bool(cost_rel <= 1e-7),
     }
 
 

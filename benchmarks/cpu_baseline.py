@@ -532,6 +532,29 @@ def solve_bundle_cpu(obj, uv, b_se3_g, intr, g0, b0, **tol):
                          ftol=tol.get("ftol", 1e-9), gtol=tol.get("gtol", 1e-9))
 
 
+def bundle_plain_cost(g_se3_c, b_se3_t, intr, obj, uv, b_se3_g):
+    """0.5 * sum(r^2) of the single-camera bundle reprojection
+    (c_se3_t = X^-1 g^-1 b_se3_t chain, residuals/bundleresidual.h:14-69) —
+    the SHARED numpy evaluator for the config-4b same-minimum gate."""
+    o, n = obj.shape[0], obj.shape[1]
+    X3 = np.concatenate([obj, np.zeros((o, n, 1))], -1)
+    x_inv = np.linalg.inv(np.asarray(g_se3_c, float))
+    tgt = np.asarray(b_se3_t, float)
+    intr = np.asarray(intr, float)
+    fx, fy, cx, cy, sk = intr[:5]
+    cost = 0.0
+    for j in range(o):
+        m = x_inv @ np.linalg.inv(np.asarray(b_se3_g[j], float)) @ tgt
+        pc = X3[j] @ m[:3, :3].T + m[:3, 3]
+        xn = pc[:, 0] / pc[:, 2]
+        yn = pc[:, 1] / pc[:, 2]
+        xd, yd, _, _ = distort_with_jac(xn, yn, intr[5:])
+        ru = fx * xd + sk * yd + cx - uv[j, :, 0]
+        rv = fy * yd + cy - uv[j, :, 1]
+        cost += float(np.sum(ru * ru) + np.sum(rv * rv))
+    return 0.5 * cost
+
+
 # ---------------------------------------------------------------------------
 # Config 5 (line-scan part): laser-plane calibration — sequential numpy
 # implementation of the reference's closed-form Eigen pipeline

@@ -123,6 +123,27 @@ def test_extrinsics_plain_cost_matches_solver_cost():
     np.testing.assert_allclose(cost, r.cost, rtol=1e-12)
 
 
+def test_bundle_plain_cost_matches_solver_cost():
+    """bundle_plain_cost must reproduce solve_bundle_cpu's own 0.5*sum(r^2)
+    EXACTLY at the solution (config-4b same-minimum gate integrity)."""
+    pytest.importorskip("torch")
+    from benchmarks import problems as pb
+
+    p = pb.bundle_problems(1)
+    r = cb.solve_bundle_cpu(
+        p["obj"][0], p["uv"][0], p["bg"][0], p["intr"], p["g0"][0], p["b0"][0]
+    )
+    xm, tm = np.eye(4), np.eye(4)
+    xm[:3, :3] = cb.so3_exp(r.x[:3])
+    xm[:3, 3] = r.x[3:6]
+    tm[:3, :3] = cb.so3_exp(r.x[6:9])
+    tm[:3, 3] = r.x[9:12]
+    cost = cb.bundle_plain_cost(
+        xm, tm, p["intr"], p["obj"][0], p["uv"][0], p["bg"][0]
+    )
+    np.testing.assert_allclose(cost, r.cost, rtol=1e-12)
+
+
 def test_solve_handeye_cpu_recovers_gt():
     pytest.importorskip("torch")  # torch-autodiff baselines; CI may lack torch
     sim = synth.make_handeye_sequence(num_poses=10)
