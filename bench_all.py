@@ -188,6 +188,80 @@ def bench_intrinsics():
     }
 
 
+def bench_intrinsics_scheimpflug():
+    """Config 2S: the flagship solve through the GENERIC camera-model path —
+    Scheimpflug (12-param tilted-sensor wrapper) batched intrinsics, tilts
+    seeded at zero. The reference instantiates optimize_intrinsics for
+    ScheimpflugCamera (src/estimation/optim/intrinsics.cpp:122-132) at the
+    same templated-code-path parity. vs_baseline here is RELATIVE throughput
+    vs the same-batch pinhole solve (generic-model overhead, target ~1x),
+    not a CPU multiple — the CPU stand-in has no Scheimpflug solver."""
+    import jax.numpy as jnp
+
+    import bench as headline
+    from calibration_tpu.models import scheimpflug
+    from calibration_tpu.ops import se3
+    from calibration_tpu.optim import IntrinsicsOptimOptions, OptimOptions
+    from calibration_tpu.parallel import batched
+
+    b = int(os.environ.get("BENCH_SCHEIM_BATCH", os.environ.get("BENCH_BATCH", "256")))
+    _log(f"[2S scheimpflug intrinsics] batch={b}")
+    tilt = np.array([0.05, -0.04])
+
+    def make(seed):
+        obj, _, poses, intr10 = headline.make_problems(b, seed=seed)
+        intr12 = np.concatenate([np.asarray(intr10), tilt])
+        obj3 = jnp.concatenate(
+            [jnp.asarray(obj), jnp.zeros(obj.shape[:-1] + (1,))], -1
+        )
+        pts_c = se3.se3_apply(jnp.asarray(poses)[:, :, None], obj3)
+        uv = np.asarray(scheimpflug.project(jnp.asarray(intr12), pts_c))
+        uv = uv + np.random.default_rng(seed + 1).normal(0, 0.2, uv.shape)
+        return obj, uv, intr12
+
+    obj, uv, intr12_gt = make(7)
+    opts = IntrinsicsOptimOptions(
+        core=OptimOptions(max_iterations=60, compute_covariance=True)
+    )
+
+    fn_s = lambda o, u: batched.intrinsics_batch(
+        o, u, opts=opts, model_name="scheimpflug_pinhole_brown_conrady"
+    )
+    (_, out_s), dt_s = timed_batch(
+        fn_s, (obj, uv), lambda k: make(repeat_seed(23, k))[:2]
+    )
+    _, intr, _, view_errors, _, _ = out_s
+    intr = np.asarray(intr)
+    rms = float(np.sqrt(np.mean(np.asarray(view_errors) ** 2)))
+
+    obj_p, uv_p, _, _ = headline.make_problems(b, seed=7)
+    fn_p = lambda o, u: batched.intrinsics_batch(o, u, opts=opts)
+    _, dt_p = timed_batch(
+        fn_p, (obj_p, uv_p),
+        lambda k: headline.make_problems(b, seed=repeat_seed(29, k))[:2],
+    )
+    return {
+        "metric": "scheimpflug_intrinsics_solves_per_sec",
+        "value": round(b / dt_s, 2),
+        "unit": "solves/sec",
+        "vs_baseline": round(dt_p / dt_s, 3),
+        "baseline_note": "relative to the same-batch pinhole solve (generic-model overhead)",
+        "pinhole_solves_per_sec": round(b / dt_p, 2),
+        "mean_view_rms_px": rms,
+        "tilt_max_abs_dev_rad": float(np.abs(intr[:, 10:] - tilt).max()),
+        "parity_note": (
+            "gate is mean_view_rms_px ~ injected 0.2px noise (solution "
+            "quality); small tilts are NOT identifiable from noisy planar "
+            "views with free tangential distortion (tau ~ p1/p2 to first "
+            "order), so tilt_max_abs_dev_rad reports the cost-flat valley "
+            "spread, mirroring config 2's fx/k3 note. The reference makes "
+            "no noisy tilt-recovery claim either (scheimpflug_bundle_test "
+            "fixes intrinsics or hand-eye; noiseless recovery is covered "
+            "by tests/test_scheimpflug_solvers.py at 1e-6)"
+        ),
+    }
+
+
 def bench_extrinsics():
     from calibration_tpu.optim import ExtrinsicOptions, OptimOptions
     from calibration_tpu.parallel import batched
@@ -547,6 +621,7 @@ def bench_linescan_ransac():
 CONFIGS = {
     "1": bench_homography,
     "2": bench_intrinsics,
+    "2S": bench_intrinsics_scheimpflug,
     "3": bench_extrinsics,
     "4": bench_handeye,
     "5": bench_bundle,
@@ -559,7 +634,7 @@ CONFIGS = {
 def main():
     import jax
 
-    which = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,5L,5P,5R").split(",")
+    which = os.environ.get("BENCH_CONFIGS", "1,2,2S,3,4,5,5L,5P,5R").split(",")
     _log(f"[bench_all] backend: {jax.default_backend()}, devices: {jax.devices()}")
     results = []
     for key in which:
