@@ -618,6 +618,68 @@ def bench_linescan_ransac():
     }
 
 
+def bench_linescan_scheimpflug():
+    """Config 5S: BASELINE config 5's literal line-scan shape — a
+    SCHEIMPFLUG camera (12-param tilted sensor) with the RANSAC plane fit
+    under 20% outlier load. The reference's calibrate_laser_plane is
+    templated over camera_model (linescan.h:63-91); here the same batched
+    program runs with model_name="scheimpflug..." (generic unprojection via
+    models/registry). vs_baseline is RELATIVE throughput vs the same-batch
+    pinhole RANSAC run (generic-model overhead) — the numpy CPU line-scan
+    baseline is pinhole-only. Accuracy gate: plane-normal angle vs GT at
+    the noise level."""
+    from calibration_tpu.ops.ransac import RansacOptions
+    from calibration_tpu.parallel import batched
+
+    b = int(os.environ.get("BENCH_LINESCAN_SCHEIM_BATCH", "256"))
+    _log(f"[5S line-scan scheimpflug RANSAC] batch={b}")
+    tau = (0.06, -0.04)
+
+    def problems(seed, tilt):
+        camera, obj, tgt_uv, laser_uv, plane_gt = pb.linescan_problems(
+            b, seed=seed, tilt_tau=tilt
+        )
+        rng = np.random.default_rng(seed + 1)
+        out_mask = rng.random(laser_uv.shape[:-1]) < 0.2
+        junk = rng.uniform(0, 640, laser_uv.shape)
+        laser_uv = np.where(out_mask[..., None], junk, laser_uv)
+        return camera, obj, tgt_uv, laser_uv, plane_gt
+
+    opts = RansacOptions(max_iters=256, thresh=0.004, min_inliers=20)
+    model = "scheimpflug_pinhole_brown_conrady"
+
+    camera, obj, tgt_uv, laser_uv, plane_gt = problems(37, tau)
+    fn_s = lambda c, o, tu, lu: batched.linescan_ransac_batch(
+        c, o, tu, lu, options=opts, model_name=model
+    )
+    res, dt_s = timed_batch(
+        fn_s, (camera, obj, tgt_uv, laser_uv),
+        lambda k: problems(repeat_seed(37, k), tau)[:4],
+    )
+    plane = np.asarray(res.plane)
+    ok = np.asarray(res.ok)
+    ang_err = np.degrees(
+        np.arccos(np.clip(np.abs(np.sum(plane[:, :3] * plane_gt[:, :3], -1)), 0, 1))
+    )
+
+    cam_p, obj_p, tuv_p, luv_p, _ = problems(37, None)
+    fn_p = lambda c, o, tu, lu: batched.linescan_ransac_batch(c, o, tu, lu, options=opts)
+    _, dt_p = timed_batch(
+        fn_p, (cam_p, obj_p, tuv_p, luv_p),
+        lambda k: problems(repeat_seed(41, k), None)[:4],
+    )
+    return {
+        "metric": "linescan_scheimpflug_ransac_solves_per_sec",
+        "value": round(b / dt_s, 1),
+        "unit": "rigs/sec",
+        "vs_baseline": round(dt_p / dt_s, 3),
+        "baseline_note": "relative to the same-batch pinhole RANSAC run (generic-model overhead)",
+        "pinhole_solves_per_sec": round(b / dt_p, 1),
+        "all_ok": bool(ok.all()),
+        "gt_plane_angle_err_deg_max": float(ang_err.max()),
+    }
+
+
 CONFIGS = {
     "1": bench_homography,
     "2": bench_intrinsics,
@@ -628,13 +690,14 @@ CONFIGS = {
     "5L": bench_linescan,
     "5P": bench_pipeline,
     "5R": bench_linescan_ransac,
+    "5S": bench_linescan_scheimpflug,
 }
 
 
 def main():
     import jax
 
-    which = os.environ.get("BENCH_CONFIGS", "1,2,2S,3,4,5,5L,5P,5R").split(",")
+    which = os.environ.get("BENCH_CONFIGS", "1,2,2S,3,4,5,5L,5P,5R,5S").split(",")
     _log(f"[bench_all] backend: {jax.default_backend()}, devices: {jax.devices()}")
     results = []
     for key in which:

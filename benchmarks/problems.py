@@ -163,20 +163,38 @@ def bundle_problems(batch, num_obs=20, rows=8, cols=11, noise=0.2, seed=19):
 
 # --- config 5 (line-scan part): laser plane ---------------------------------
 
-def linescan_problems(batch, views=6, rows=5, cols=7, n_laser=40, noise=0.1, seed=23):
+def linescan_problems(batch, views=6, rows=5, cols=7, n_laser=40, noise=0.1, seed=23,
+                      tilt_tau=None):
     """Batch of line-scan rigs: camera + laser plane rigidly mounted, moving
     planar target. GT plane is in the camera frame; laser pixels are the
     projected intersection of the laser plane with each view's target plane
     (the geometry of linescan.h:63-91 run forward).
 
-    Returns (camera (B, 10), obj (B, V, N, 2), tgt_uv (B, V, N, 2),
+    tilt_tau: optional (taux, tauy) — render through the Scheimpflug model
+    instead of pinhole (BASELINE config 5 names a Scheimpflug line-scan);
+    the returned camera is then 12-param.
+
+    Returns (camera (B, pc), obj (B, V, N, 2), tgt_uv (B, V, N, 2),
     laser_uv (B, V, L, 2), plane_gt (B, 4))."""
     rng = np.random.default_rng(seed)
     obj = grid(rows, cols, 0.03)
     intr = np.array([600.0, 610.0, 320.0, 240.0, 0.0, -0.12, 0.04, 0.0, 1e-4, -1e-4])
+    if tilt_tau is not None:
+        import jax.numpy as jnp
+
+        from calibration_tpu.models import scheimpflug
+
+        intr_full = np.concatenate([intr, np.asarray(tilt_tau, float)])
+        proj = lambda pts: np.asarray(
+            scheimpflug.project(jnp.asarray(intr_full), jnp.asarray(pts))
+        )
+    else:
+        intr_full = intr
+        proj = lambda pts: np_project(intr, pts)
     theta = 0.25
     n_pl = np.array([0.0, np.sin(theta), -np.cos(theta)])
 
+    obj3 = np.concatenate([obj, np.zeros((obj.shape[0], 1))], -1)
     objs = np.tile(obj[None, None], (batch, views, 1, 1))
     tgt_uv = np.zeros((batch, views, obj.shape[0], 2))
     laser_uv = np.zeros((batch, views, n_laser, 2))
@@ -188,10 +206,12 @@ def linescan_problems(batch, views=6, rows=5, cols=7, n_laser=40, noise=0.1, see
         # plane stored with d >= 0 like the SVD fit's convention
         sgn = 1.0 if d_pl >= 0 else -1.0
         planes[b] = np.concatenate([sgn * n_pl, [sgn * d_pl]])
-        tgt_uv[b] = render(intr, poses, obj, noise, rng)
         s = np.linspace(-0.1, 0.1, n_laser)
         for v in range(views):
             rot, t = poses[v, :3, :3], poses[v, :3, 3]
+            tgt_uv[b, v] = proj(obj3 @ rot.T + t) + rng.normal(
+                0, noise, (obj.shape[0], 2)
+            )
             ab = rot.T @ n_pl
             c = n_pl @ t + d_pl
             a2 = ab[0] ** 2 + ab[1] ** 2
@@ -199,6 +219,6 @@ def linescan_problems(batch, views=6, rows=5, cols=7, n_laser=40, noise=0.1, see
             dvec = np.array([-ab[1], ab[0]]) / np.sqrt(a2)
             pl_xy = p0[None] + s[:, None] * dvec[None]
             pts3 = np.concatenate([pl_xy, np.zeros((n_laser, 1))], -1) @ rot.T + t
-            laser_uv[b, v] = np_project(intr, pts3) + rng.normal(0, noise, (n_laser, 2))
-    camera = np.tile(intr[None], (batch, 1))
+            laser_uv[b, v] = proj(pts3) + rng.normal(0, noise, (n_laser, 2))
+    camera = np.tile(intr_full[None], (batch, 1))
     return camera, objs, tgt_uv, laser_uv, planes
