@@ -158,11 +158,12 @@ def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
     # same seed perturbation as bench_all.py::bench_intrinsics so the two
     # harnesses report comparable CPU numbers
     pert = intr_gt + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0])
-    # best of 2 passes: a single pass under transient host load (e.g. the
+    # best of 4 passes: a single pass under transient host load (e.g. the
     # remote-compile service still draining) understates the baseline and
-    # overstates vs_baseline — observed 4.1/s vs 24/s for identical code
+    # overstates vs_baseline — observed 4.1/s vs 24/s for identical code,
+    # and a 2.97s vs 0.39s pass pair even with best-of-2 (r3 chip session)
     times = []
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         for i in range(b):
             x0 = cb.intrinsics_x0(pert, poses0[i])
@@ -217,11 +218,16 @@ def main():
     # persists across runs (see bench_all.repeat_seed)
     from bench_all import repeat_seed
 
+    # CPU floor FIRST, on an idle host: measuring it after the TPU section
+    # exposes it to compile-service/dispatch aftershocks (the 2.97s-vs-0.39s
+    # pass spread seen when it ran second), which understates the baseline
+    # and overstates vs_baseline.
+    cpu = cpu_baseline_throughput(obj, uv, poses, intr_gt)
+
     throughput, rms, intr = tpu_throughput(
         obj, uv, make=lambda k: make_problems(batch, seed=repeat_seed(7, k))[:2]
     )
 
-    cpu = cpu_baseline_throughput(obj, uv, poses, intr_gt)
     vs_baseline = (throughput / cpu) if cpu else 1.0
 
     fx_err = float(np.mean(np.abs(intr[:, 0] - intr_gt[0])))

@@ -68,10 +68,19 @@ def timed_batch(fn, args, make_args, repeats=3):
     return out, min(times)
 
 
-def timed_cpu(solve_one, n):
-    t0 = time.time()
-    results = [solve_one(i) for i in range(n)]
-    return results, time.time() - t0
+def timed_cpu(solve_one, n, passes=3):
+    """Best-of-``passes`` sequential CPU floor. A single pass on this shared
+    1-vCPU host can be inflated several-x by transient load (observed 2.97s
+    vs 0.39s for identical solves), which silently *overstates* vs_baseline;
+    the min over repeated passes is the honest sequential capability."""
+    results, times = None, []
+    for _ in range(passes):
+        t0 = time.time()
+        out = [solve_one(i) for i in range(n)]
+        times.append(time.time() - t0)
+        if results is None:
+            results = out
+    return results, min(times)
 
 
 def rot_err_deg(a, b):

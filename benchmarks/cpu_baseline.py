@@ -62,6 +62,19 @@ def so3_right_jacobian(w):
     return np.eye(3) - b[..., None, None] * W + c[..., None, None] * (W @ W)
 
 
+def so3_right_jacobian_inv(w):
+    """Jr(w)^-1: log(exp(w) exp(d)) ~= w + Jr(w)^-1 d (|w| < pi)."""
+    w = np.asarray(w, float)
+    th2 = float(np.dot(w, w))
+    th = np.sqrt(th2)
+    W = skew(w)
+    if th < 1e-8:
+        c = 1.0 / 12.0 + th2 / 720.0
+    else:
+        c = 1.0 / th2 - (1.0 + np.cos(th)) / (2.0 * th * np.sin(th))
+    return np.eye(3) + 0.5 * W + c * (W @ W)
+
+
 def so3_log(r):
     """(3, 3) -> (3,) axis-angle."""
     tr = np.clip((np.trace(r) - 1.0) * 0.5, -1.0, 1.0)
@@ -117,6 +130,47 @@ def distort_with_jac(xn, yn, k):
     return xd, yd, D, Dk
 
 
+def project_chain(intr, pc, with_jac=True, fix_skew=False):
+    """Shared projection chain for every analytic reprojection Jacobian.
+
+    intr = 10-vector [fx,fy,cx,cy,skew,k1,k2,k3,p1,p2]; pc (..., 3) camera
+    points. Returns (uv_hat (..., 2), G, Ju, Jk) where
+      G  (..., 2, 3) = d(u,v)/d(pc)            (A @ D @ P),
+      Ju (..., 2, 5) = d(u,v)/d[fx,fy,cx,cy,skew] (skew col zeroed if fixed),
+      Jk (..., 2, 5) = d(u,v)/d[k1,k2,k3,p1,p2]   (A @ Dk).
+    Forward model: pinhole.h:102-107 + distortion.h:93-116.
+    """
+    intr = np.asarray(intr, float)
+    fx, fy, cx, cy, sk = intr[:5]
+    if fix_skew:
+        sk = 0.0
+    z = pc[..., 2]
+    xn = pc[..., 0] / z
+    yn = pc[..., 1] / z
+    xd, yd, D, Dk = distort_with_jac(xn, yn, intr[5:])
+    uv_hat = np.stack([fx * xd + sk * yd + cx, fy * yd + cy], -1)
+    if not with_jac:
+        return uv_hat, None, None, None
+
+    A = np.array([[fx, sk], [0.0, fy]])
+    Ju = np.zeros(xd.shape + (2, 5))
+    Ju[..., 0, 0] = xd
+    Ju[..., 0, 2] = 1.0
+    if not fix_skew:
+        Ju[..., 0, 4] = yd
+    Ju[..., 1, 1] = yd
+    Ju[..., 1, 3] = 1.0
+    Jk = np.einsum("ab,...bk->...ak", A, Dk)
+    iz = 1.0 / z
+    P = np.zeros(xd.shape + (2, 3))
+    P[..., 0, 0] = iz
+    P[..., 0, 2] = -xn * iz
+    P[..., 1, 1] = iz
+    P[..., 1, 2] = -yn * iz
+    G = np.einsum("ab,...bc,...cd->...ad", A, D, P)
+    return uv_hat, G, Ju, Jk
+
+
 # ---------------------------------------------------------------------------
 # Config 2: planar intrinsics — analytic residual + Jacobian
 # x = [fx, fy, cx, cy, skew, k1, k2, k3, p1, p2, (w_v(3), t_v(3)) * V]
@@ -131,49 +185,17 @@ def intrinsics_residual_jac(x, obj, uv, with_jac=True, fix_skew=False):
     same-minimum parity gate so both sides solve the IDENTICAL objective."""
     v, n = obj.shape[0], obj.shape[1]
     intr, poses = x[:10], x[10:].reshape(v, 6)
-    fx, fy, cx, cy, sk = intr[:5]
-    if fix_skew:
-        sk = 0.0
-    kco = intr[5:]
     w, t = poses[:, :3], poses[:, 3:]
 
     R = so3_exp(w)  # (V, 3, 3)
     X = np.concatenate([obj, np.zeros((v, n, 1))], -1)  # (V, N, 3)
     pc = np.einsum("vij,vnj->vni", R, X) + t[:, None, :]
-    z = pc[..., 2]
-    xn = pc[..., 0] / z
-    yn = pc[..., 1] / z
-    xd, yd, D, Dk = distort_with_jac(xn, yn, kco)
-    u_hat = fx * xd + sk * yd + cx
-    v_hat = fy * yd + cy
-    res = np.stack([u_hat - uv[..., 0], v_hat - uv[..., 1]], -1)  # (V, N, 2)
+    uv_hat, G, Ju, Jk = project_chain(intr, pc, with_jac=with_jac, fix_skew=fix_skew)
+    res = uv_hat - uv  # (V, N, 2)
     if not with_jac:
         return res.reshape(-1), None
 
     m = v * n * 2
-    J = np.zeros((m, 10 + 6 * v))
-    # d(u, v)/d(xd, yd) — constant per problem
-    A = np.array([[fx, sk], [0.0, fy]])  # (2, 2)
-    # intrinsic linear part: du/d[fx,fy,cx,cy,skew]
-    Ju = np.zeros((v, n, 2, 5))
-    Ju[..., 0, 0] = xd
-    Ju[..., 0, 2] = 1.0
-    if not fix_skew:
-        Ju[..., 0, 4] = yd
-    Ju[..., 1, 1] = yd
-    Ju[..., 1, 3] = 1.0
-    # distortion coeffs: (A @ Dk)
-    Jk = np.einsum("ab,vnbk->vnak", A, Dk)  # (V, N, 2, 5)
-    # normalized coords: P = d(xn, yn)/d(pc) (V, N, 2, 3)
-    iz = 1.0 / z
-    P = np.zeros((v, n, 2, 3))
-    P[..., 0, 0] = iz
-    P[..., 0, 2] = -xn * iz
-    P[..., 1, 1] = iz
-    P[..., 1, 2] = -yn * iz
-    # d(u,v)/d(pc) = A @ D @ P
-    AD = np.einsum("ab,vnbc->vnac", A, D)  # (V, N, 2, 2)
-    G = np.einsum("vnab,vnbc->vnac", AD, P)  # (V, N, 2, 3)
     # pose partials: d pc/d t = I; d pc/d w = -R [X]_x Jr(w)
     Jr = so3_right_jacobian(w)  # (V, 3, 3)
     RX = np.einsum("vij,vnjk->vnik", R, skew(X))  # R [X]_x
@@ -181,7 +203,7 @@ def intrinsics_residual_jac(x, obj, uv, with_jac=True, fix_skew=False):
     Jw = np.einsum("vnab,vnbc->vnac", G, dpc_dw)  # (V, N, 2, 3)
     Jt = G  # (V, N, 2, 3)
 
-    J = J.reshape(v, n, 2, 10 + 6 * v)
+    J = np.zeros((v, n, 2, 10 + 6 * v))
     J[..., :5] = Ju
     J[..., 5:10] = Jk
     for i in range(v):
@@ -320,7 +342,93 @@ class TorchResidual:
         return self.jac_fn(t).detach().numpy()
 
 
-def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
+def extrinsics_residual_jac(x, obj, uv, skews, view0, with_jac=True):
+    """Analytic residual + Jacobian for the joint multi-camera extrinsics
+    problem (same x layout and gauge as solve_extrinsics_cpu: cam0 = I,
+    view0 fixed, skew frozen at the seed value).
+
+    obj/uv (V, C, N, 2); skews (C,); view0 (4, 4).
+    x = [(w,t) cams 1..C-1 | (w,t) views 1..V-1 | 9-param intr per cam].
+    Residual chain: pc = R_c (R_v X + t_v) + t_c, project per cam
+    (extrinsicsresidual.h:22-60 semantics).
+    """
+    v, c, n = obj.shape[0], obj.shape[1], obj.shape[2]
+    off = 0
+    w_c = np.zeros((c, 3))
+    t_c = np.zeros((c, 3))
+    for ci in range(1, c):
+        w_c[ci] = x[off : off + 3]
+        t_c[ci] = x[off + 3 : off + 6]
+        off += 6
+    w_v = np.zeros((v, 3))
+    t_v = np.zeros((v, 3))
+    R_v = np.zeros((v, 3, 3))
+    R_v[0] = np.asarray(view0, float)[:3, :3]
+    t_v[0] = np.asarray(view0, float)[:3, 3]
+    for vi in range(1, v):
+        w_v[vi] = x[off : off + 3]
+        t_v[vi] = x[off + 3 : off + 6]
+        off += 6
+    if v > 1:
+        R_v[1:] = so3_exp(w_v[1:])
+    i9 = x[off:].reshape(c, 9)
+    intrs = np.concatenate(
+        [i9[:, :4], np.asarray(skews, float)[:, None], i9[:, 4:]], axis=1
+    )
+    R_c = so3_exp(w_c)  # (C, 3, 3); cam0 == I since w_c[0] = 0
+
+    X = np.concatenate([obj, np.zeros((v, c, n, 1))], -1)  # (V, C, N, 3)
+    y = np.einsum("vij,vcnj->vcni", R_v, X) + t_v[:, None, None, :]
+    pc = np.einsum("cij,vcnj->vcni", R_c, y) + t_c[None, :, None, :]
+
+    uv_hat = np.zeros((v, c, n, 2))
+    G = np.zeros((v, c, n, 2, 3))
+    Ju = np.zeros((v, c, n, 2, 5))
+    Jk = np.zeros((v, c, n, 2, 5))
+    for ci in range(c):  # distortion coeffs differ per cam
+        out = project_chain(intrs[ci], pc[:, ci], with_jac=with_jac, fix_skew=False)
+        uv_hat[:, ci] = out[0]
+        if with_jac:
+            G[:, ci], Ju[:, ci], Jk[:, ci] = out[1], out[2], out[3]
+    res = uv_hat - np.asarray(uv, float)
+    if not with_jac:
+        return res.reshape(-1), None
+
+    nx = 6 * (c - 1) + 6 * (v - 1) + 9 * c
+    J = np.zeros((v, c, n, 2, nx))
+    Jr_c = so3_right_jacobian(w_c)  # (C, 3, 3)
+    Jr_v = so3_right_jacobian(w_v)  # (V, 3, 3)
+    for ci in range(1, c):
+        # d pc/d w_c = -R_c [y]_x Jr(w_c);  d pc/d t_c = I
+        dpc_dw = -np.einsum(
+            "ij,vnjk,kl->vnil", R_c[ci], skew(y[:, ci]), Jr_c[ci]
+        )  # (V, N, 3, 3)
+        col = 6 * (ci - 1)
+        J[:, ci, :, :, col : col + 3] = np.einsum(
+            "vnab,vnbc->vnac", G[:, ci], dpc_dw
+        )
+        J[:, ci, :, :, col + 3 : col + 6] = G[:, ci]
+    for vi in range(1, v):
+        # d pc/d w_v = -R_c R_v [X]_x Jr(w_v);  d pc/d t_v = R_c
+        RvXx = np.einsum("ij,cnjk->cnik", R_v[vi], skew(X[vi]))  # (C, N, 3, 3)
+        dpc_dw = -np.einsum("cij,cnjk,kl->cnil", R_c, RvXx, Jr_v[vi])
+        dpc_dt = R_c  # (C, 3, 3)
+        col = 6 * (c - 1) + 6 * (vi - 1)
+        J[vi, :, :, :, col : col + 3] = np.einsum(
+            "mnab,mnbd->mnad", G[vi], dpc_dw
+        )
+        J[vi, :, :, :, col + 3 : col + 6] = np.einsum(
+            "mnab,mbd->mnad", G[vi], dpc_dt
+        )
+    for ci in range(c):
+        col = 6 * (c - 1) + 6 * (v - 1) + 9 * ci
+        # 9-param layout: [fx, fy, cx, cy] + [k1, k2, k3, p1, p2] (skew frozen)
+        J[:, ci, :, :, col : col + 4] = Ju[:, ci, :, :, :4]
+        J[:, ci, :, :, col + 4 : col + 9] = Jk[:, ci]
+    return res.reshape(-1), J.reshape(v * c * n * 2, nx)
+
+
+def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, backend="analytic", **tol):
     """Joint multi-camera extrinsics refinement with the REFERENCE gauge
     (optimize_extrinsics semantics, src/estimation/optim/extrinsics.cpp:
     cam0 pose constant, first target pose constant because intrinsics are
@@ -331,8 +439,28 @@ def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
     obj/uv: (V, C, N, 2); intr0: (C, 10); c0: (C, 4, 4); r0: (V, 4, 4).
     x = [cam pose (w, t) for c >= 1, target pose (w, t) for v >= 1,
     intr-without-skew (9) per cam].
+
+    backend="analytic" (default, hand-derived vectorized-numpy Jacobian —
+    the honest Ceres-class floor) or "torch" (torch.func reverse-mode,
+    kept as the cross-check oracle for the analytic path).
     """
     from scipy.optimize import least_squares
+
+    if backend == "analytic":
+        obj = np.asarray(obj, float)
+        uv = np.asarray(uv, float)
+        skews = np.asarray(intr0, float)[:, 4]
+        view0 = np.asarray(r0[0], float)
+        x0 = extrinsics_pack_x0(intr0, c0, r0)
+        fun = lambda x: extrinsics_residual_jac(
+            x, obj, uv, skews, view0, with_jac=False
+        )[0]
+        jac = lambda x: extrinsics_residual_jac(x, obj, uv, skews, view0)[1]
+        return least_squares(
+            fun, x0, jac=jac, method="trf",
+            xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
+            gtol=tol.get("gtol", 1e-9),
+        )
 
     torch = _torch()
     v, c, n = obj.shape[0], obj.shape[1], obj.shape[2]
@@ -375,21 +503,27 @@ def solve_extrinsics_cpu(obj, uv, intr0, c0, r0, **tol):
                 out.append((_t_project(torch, intrs[ci], pc) - uv_t[vi, ci]).reshape(-1))
         return torch.cat(out)
 
-    x0 = []
-    for ci in range(1, c):
-        w, t = pose_to_w_t(c0[ci])
-        x0 += [w, t]
-    for vi in range(1, v):
-        w, t = pose_to_w_t(r0[vi])
-        x0 += [w, t]
-    i0 = np.asarray(intr0, float)
-    x0.append(np.delete(i0, 4, axis=1).reshape(-1))
-    x0 = np.concatenate([np.ravel(a) for a in x0])
+    x0 = extrinsics_pack_x0(intr0, c0, r0)
 
     tr = TorchResidual(residual)
     return least_squares(tr.fun, x0, jac=tr.jac, method="trf",
                          xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
                          gtol=tol.get("gtol", 1e-9))
+
+
+def extrinsics_pack_x0(intr0, c0, r0):
+    """Pack solve_extrinsics_cpu's x0 = [(w,t) cams>=1, (w,t) views>=1,
+    9-param intr per cam] from 4x4 poses and 10-param intrinsics."""
+    x0 = []
+    for ci in range(1, len(c0)):
+        w, t = pose_to_w_t(c0[ci])
+        x0 += [w, t]
+    for vi in range(1, len(r0)):
+        w, t = pose_to_w_t(r0[vi])
+        x0 += [w, t]
+    i0 = np.asarray(intr0, float)
+    x0.append(np.delete(i0, 4, axis=1).reshape(-1))
+    return np.concatenate([np.ravel(a) for a in x0])
 
 
 def extrinsics_unpack_x(x, v, c, intr0, r0):
@@ -441,26 +575,81 @@ def extrinsics_plain_cost(c_se3_r, r_se3_t, intrs, obj, uv):
     return 0.5 * cost
 
 
-def solve_handeye_cpu(b_se3_g, c_se3_t, x0_pose, min_angle_deg=1.0, **tol):
-    """AX=XB refinement over motion pairs (optimize_handeye semantics,
-    6-vector residual log(RA RX RB^T RX^T) (+) ((RA - I) tX - (RX tB - tA))).
-    x = [w(3), t(3)] of X = g_se3_c."""
-    from scipy.optimize import least_squares
+def handeye_residual_jac(x, A_arr, B_arr, with_jac=True):
+    """Analytic AX=XB residual + Jacobian over P motion pairs.
 
-    torch = _torch()
-    # all-pairs motion generation with angle filter (handeyedlt.cpp:25-81)
+    Per pair: r_rot = log(RA RX RB^T RX^T), r_tra = (RA-I) tX - (RX tB - tA)
+    (residuals/handeyeresidual.h:18-54; derivation doc/ax_xb_residual.md).
+    d r_rot/d wX = Jr(r_rot)^-1 RX (RB - I) Jr(wX)  [right-perturbation of
+    RX -> RX exp((Jr dw)^) pushed through the conjugation], d r_rot/d tX = 0;
+    d r_tra/d wX = RX [tB]_x Jr(wX), d r_tra/d tX = RA - I.
+    Mirrors the hand-derived device Jacobian (optim/handeye.py).
+    """
+    A_arr = np.asarray(A_arr, float)
+    B_arr = np.asarray(B_arr, float)
+    p = A_arr.shape[0]
+    RA, tA = A_arr[:, :3, :3], A_arr[:, :3, 3]
+    RB, tB = B_arr[:, :3, :3], B_arr[:, :3, 3]
+    wX, tX = x[:3], x[3:6]
+    RX = so3_exp(wX)
+
+    Q = RA @ (RX @ np.swapaxes(RB, 1, 2) @ RX.T)  # (P, 3, 3)
+    r_rot = np.stack([so3_log(Q[k]) for k in range(p)])  # (P, 3)
+    r_tra = np.einsum("pij,j->pi", RA - np.eye(3), tX) - (tB @ RX.T - tA)
+    res = np.concatenate([r_rot, r_tra], axis=1).reshape(-1)
+    if not with_jac:
+        return res, None
+
+    JrX = so3_right_jacobian(wX)
+    J = np.zeros((p, 6, 6))
+    for k in range(p):
+        J[k, :3, :3] = so3_right_jacobian_inv(r_rot[k]) @ RX @ (RB[k] - np.eye(3)) @ JrX
+        J[k, 3:, :3] = RX @ skew(tB[k]) @ JrX
+        J[k, 3:, 3:] = RA[k] - np.eye(3)
+    return res, J.reshape(6 * p, 6)
+
+
+def handeye_motion_pairs(b_se3_g, c_se3_t, min_angle_deg=1.0):
+    """All-pairs motion generation with angle filter (handeyedlt.cpp:25-81):
+    A = gj^-1 gi (gripper motion), B = ctj cti^-1 (camera motion)."""
     p = len(b_se3_g)
     As, Bs = [], []
     for i in range(p):
         for j in range(i + 1, p):
-            A = np.linalg.solve(b_se3_g[j], b_se3_g[i])  # gj^-1 gi
+            A = np.linalg.solve(b_se3_g[j], b_se3_g[i])
             B = c_se3_t[j] @ np.linalg.inv(c_se3_t[i])
             ang = np.degrees(np.linalg.norm(so3_log(A[:3, :3])))
             if ang >= min_angle_deg:
                 As.append(A)
                 Bs.append(B)
-    A_t = torch.as_tensor(np.stack(As))
-    B_t = torch.as_tensor(np.stack(Bs))
+    return np.stack(As), np.stack(Bs)
+
+
+def solve_handeye_cpu(b_se3_g, c_se3_t, x0_pose, min_angle_deg=1.0,
+                      backend="analytic", **tol):
+    """AX=XB refinement over motion pairs (optimize_handeye semantics,
+    6-vector residual log(RA RX RB^T RX^T) (+) ((RA - I) tX - (RX tB - tA))).
+    x = [w(3), t(3)] of X = g_se3_c. backend as in solve_extrinsics_cpu."""
+    from scipy.optimize import least_squares
+
+    As, Bs = handeye_motion_pairs(b_se3_g, c_se3_t, min_angle_deg)
+    if backend == "analytic":
+        fun = lambda x: handeye_residual_jac(x, As, Bs, with_jac=False)[0]
+        jac = lambda x: handeye_residual_jac(x, As, Bs)[1]
+        w0, t0 = pose_to_w_t(x0_pose)
+        res = least_squares(
+            fun, np.concatenate([w0, t0]), jac=jac, method="trf",
+            xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
+            gtol=tol.get("gtol", 1e-9),
+        )
+        m = np.eye(4)
+        m[:3, :3] = so3_exp(res.x[:3])
+        m[:3, 3] = res.x[3:]
+        return res, m
+
+    torch = _torch()
+    A_t = torch.as_tensor(As)
+    B_t = torch.as_tensor(Bs)
 
     def t_log_so3(R):
         tr = torch.clamp((R[0, 0] + R[1, 1] + R[2, 2] - 1.0) * 0.5, -1 + 1e-12, 1 - 1e-12)
@@ -492,13 +681,76 @@ def solve_handeye_cpu(b_se3_g, c_se3_t, x0_pose, min_angle_deg=1.0, **tol):
     return res, m
 
 
-def solve_bundle_cpu(obj, uv, b_se3_g, intr, g0, b0, **tol):
+def bundle_residual_jac(x, obj, uv, g_inv, intr, with_jac=True):
+    """Analytic single-camera bundle residual + Jacobian.
+
+    Chain: c_se3_t = X^-1 g^-1 b_se3_t (residuals/bundleresidual.h:14-69)
+    with X = exp(wX)|tX, b_se3_t = exp(wT)|tT; g_inv (O, 4, 4) precomputed.
+    pc = RX^T (Rg (RT X + tT) + tg - tX), so
+      d pc/d wX = [pc]_x Jr(wX)            (left-conjugation of RX^T),
+      d pc/d tX = -RX^T,
+      d pc/d wT = -RX^T Rg RT [X]_x Jr(wT),
+      d pc/d tT =  RX^T Rg.
+    Intrinsics fixed (bench config 4b shape).
+    """
+    o, n = obj.shape[0], obj.shape[1]
+    wX, tX, wT, tT = x[:3], x[3:6], x[6:9], x[9:12]
+    RX = so3_exp(wX)
+    RT = so3_exp(wT)
+    Rg = g_inv[:, :3, :3]
+    tg = g_inv[:, :3, 3]
+
+    X = np.concatenate([obj, np.zeros((o, n, 1))], -1)  # (O, N, 3)
+    Rc = np.einsum("ji,ojk,kl->oil", RX, Rg, RT)  # RX^T Rg RT (O, 3, 3)
+    u_vec = np.einsum("oij,j->oi", Rg, tT) + tg - tX  # (O, 3)
+    tc = np.einsum("ji,oj->oi", RX, u_vec)
+    pc = np.einsum("oij,onj->oni", Rc, X) + tc[:, None]
+
+    uv_hat, G, _, _ = project_chain(intr, pc, with_jac=with_jac)
+    res = uv_hat - uv
+    if not with_jac:
+        return res.reshape(-1), None
+
+    JrX = so3_right_jacobian(wX)
+    JrT = so3_right_jacobian(wT)
+    dpc_dwX = np.einsum("onij,jk->onik", skew(pc), JrX)  # (O, N, 3, 3)
+    dpc_dtX = -RX.T  # (3, 3)
+    dpc_dwT = -np.einsum("oij,onjk,kl->onil", Rc, skew(X), JrT)
+    dpc_dtT = np.einsum("ji,ojk->oik", RX, Rg)  # (O, 3, 3)
+
+    J = np.zeros((o, n, 2, 12))
+    J[..., 0:3] = np.einsum("onab,onbc->onac", G, dpc_dwX)
+    J[..., 3:6] = np.einsum("onab,bc->onac", G, dpc_dtX)
+    J[..., 6:9] = np.einsum("onab,onbc->onac", G, dpc_dwT)
+    J[..., 9:12] = np.einsum("onab,obc->onac", G, dpc_dtT)
+    return res.reshape(-1), J.reshape(o * n * 2, 12)
+
+
+def solve_bundle_cpu(obj, uv, b_se3_g, intr, g0, b0, backend="analytic", **tol):
     """Single-camera bundle: refine hand-eye X = g_se3_c and target pose
     b_se3_t with fixed intrinsics (optimize_bundle core chain
     c_se3_t = X^-1 g^-1 b_se3_t, residuals/bundleresidual.h:14-69).
 
-    obj/uv: (O, N, 2); b_se3_g: (O, 4, 4). x = [wX, tX, wT, tT]."""
+    obj/uv: (O, N, 2); b_se3_g: (O, 4, 4). x = [wX, tX, wT, tT].
+    backend as in solve_extrinsics_cpu."""
     from scipy.optimize import least_squares
+
+    if backend == "analytic":
+        obj = np.asarray(obj, float)
+        uv = np.asarray(uv, float)
+        g_inv = np.linalg.inv(np.asarray(b_se3_g, float))
+        intr_np = np.asarray(intr, float)
+        wX0, tX0 = pose_to_w_t(g0)
+        wT0, tT0 = pose_to_w_t(b0)
+        fun = lambda x: bundle_residual_jac(
+            x, obj, uv, g_inv, intr_np, with_jac=False
+        )[0]
+        jac = lambda x: bundle_residual_jac(x, obj, uv, g_inv, intr_np)[1]
+        return least_squares(
+            fun, np.concatenate([wX0, tX0, wT0, tT0]), jac=jac, method="trf",
+            xtol=tol.get("xtol", 1e-9), ftol=tol.get("ftol", 1e-9),
+            gtol=tol.get("gtol", 1e-9),
+        )
 
     torch = _torch()
     o, n = obj.shape[0], obj.shape[1]
