@@ -190,6 +190,9 @@ def ridge_llsq(a, b, lam: float = 1e-10):
     return spd_solve(ata, atb)
 
 
+_NULLVEC_SVD_START = os.environ.get("CALIB_NULLVEC", "invpow") == "svd"
+
+
 def smallest_singular_vector(a, via_gram: bool = True):
     """Right singular vector of the smallest singular value of a (..., M, N).
 
@@ -197,39 +200,64 @@ def smallest_singular_vector(a, via_gram: bool = True):
     perturb the result (they contribute nothing to A^T A).
 
     ``via_gram`` computes the null vector from the N x N gram matrix A^T A
-    (one MXU matmul + a tiny SVD) instead of an M x N SVD — for the 2Nx9 DLT
-    stacks this is the difference between thousands of tall Jacobi SVDs and
-    a batched matmul. Squares the condition number; with Hartley-normalized
-    systems (cond ~1e3) that is far inside f64 range.
+    (one MXU matmul + Cholesky inverse-power iteration) instead of an M x N
+    SVD. Squares the condition number; with Hartley-normalized systems
+    (cond ~1e3) that is far inside f64 range.
+
+    The gram path is SVD-FREE by default: the batched tiny f64 SVD that used
+    to seed the inverse iteration was (a) ~470 ms of a 567 ms B=256xV=10
+    homography-DLT dispatch on this TPU (measured round 3 — Jacobi sweeps in
+    f64 emulation dwarf everything else in the seed) and (b) occasionally
+    WRONG for individual batch elements (see below). Instead the start
+    vector is the largest-norm column of (G + eps I)^-1: that inverse is
+    dominated by v0 v0^T / (lambda0 + eps), so its largest column already
+    IS the null vector up to O(lambda0/lambda1); two inverse-power polish
+    steps (matmuls with the same inverse) push any start-vector error down
+    by (lambda0 + eps)^2/(lambda1 + eps)^2. CALIB_NULLVEC=svd restores the
+    tiny-SVD start for A/B.
+
+    The shift must clear Cholesky roundoff on an exactly-singular G
+    (~ n*u*||G|| relative), else the factorization itself goes NaN;
+    eps perturbs eigenVALUES only — G and G+eps*I share eigenvectors
+    exactly — so a comfortably large 1e-12 relative shift costs nothing.
+    (Historical note kept for the svd start: the batched f64 svd of tiny
+    gram stacks occasionally returns a wrong or non-finite vector for
+    individual batch elements while the unbatched call is exact; inverse
+    iteration self-heals from ANY finite start, which is why both starts
+    give identical results.)
     """
     m, n = a.shape[-2], a.shape[-1]
     if via_gram and m > n:
         g = jnp.einsum("...ki,...kj->...ij", a, a)
-        _, _, vt = jnp.linalg.svd(g)
-        v = vt[..., -1, :]
-        # Inverse-power refinement recovers the accuracy the squared
-        # conditioning cost — and, crucially, makes the result independent of
-        # the batched small-SVD start vector: on this TPU attachment the
-        # BATCHED f64 svd of tiny gram stacks occasionally returns a wrong or
-        # non-finite vector for individual batch elements (the unbatched call
-        # is fine). Inverse iteration amplifies the smallest-eigenpair
-        # component by (lambda_1 + eps)/(lambda_0 + eps) per step, so two
-        # steps from ANY finite start vector land on the null vector.
-        #
-        # The shift must clear Cholesky roundoff on an exactly-singular G
-        # (~ n*u*||G|| relative), else the factorization itself goes NaN and
-        # refinement is lost; eps perturbs eigenVALUES only — G and G+eps*I
-        # share eigenvectors exactly — so a comfortably large 1e-12 relative
-        # shift costs nothing in accuracy.
-        finite = jnp.all(jnp.isfinite(v), axis=-1, keepdims=True)
-        v = jnp.where(finite, jnp.where(jnp.isfinite(v), v, 0.0),
-                      jnp.ones_like(v) / jnp.sqrt(jnp.asarray(n, a.dtype)))
         tr = jnp.trace(g, axis1=-2, axis2=-1)
         eps = (1e-12 / n) * tr + 1e-300
         shifted = g + eps[..., None, None] * jnp.eye(n, dtype=a.dtype)
-        w = v
+        if _NULLVEC_SVD_START:
+            _, _, vt = jnp.linalg.svd(g)
+            v = vt[..., -1, :]
+            finite = jnp.all(jnp.isfinite(v), axis=-1, keepdims=True)
+            v = jnp.where(finite, jnp.where(jnp.isfinite(v), v, 0.0),
+                          jnp.ones_like(v) / jnp.sqrt(jnp.asarray(n, a.dtype)))
+            w = v
+            for _ in range(2):
+                w_new = spd_solve(shifted, w)
+                nrm = jnp.linalg.norm(w_new, axis=-1, keepdims=True)
+                ok = jnp.all(jnp.isfinite(w_new), axis=-1, keepdims=True) & (nrm > 0)
+                w = jnp.where(ok, w_new / jnp.where(ok, nrm, 1.0), w)
+            return w
+        inv = spd_inverse(shifted)
+        # a non-finite inverse (G itself non-finite: fully-degenerate input)
+        # falls back to a fixed start so downstream ok-flags see finite data
+        inv_ok = jnp.all(jnp.isfinite(inv), axis=(-2, -1), keepdims=True)
+        inv = jnp.where(inv_ok, jnp.where(jnp.isfinite(inv), inv, 0.0),
+                        jnp.eye(n, dtype=a.dtype))
+        col = jnp.argmax(jnp.sum(inv * inv, axis=-2), axis=-1)  # (...,)
+        pick = col[..., None, None] == jnp.arange(n, dtype=col.dtype)[None, :]
+        w = jnp.sum(inv * pick, axis=-1)  # (..., n) the chosen column
+        nrm0 = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        w = w / jnp.where(nrm0 > 0, nrm0, 1.0)
         for _ in range(2):
-            w_new = spd_solve(shifted, w)
+            w_new = jnp.einsum("...ij,...j->...i", inv, w)
             nrm = jnp.linalg.norm(w_new, axis=-1, keepdims=True)
             ok = jnp.all(jnp.isfinite(w_new), axis=-1, keepdims=True) & (nrm > 0)
             w = jnp.where(ok, w_new / jnp.where(ok, nrm, 1.0), w)
