@@ -222,7 +222,6 @@ def optimize_extrinsics_device(
 
     block_ids = jnp.repeat(jnp.arange(v * c, dtype=jnp.int32), 2 * n)
     res_fn = lambda x: _residual(model, x, obj_xy, img_uv, mask, pc, c, v)
-    jac_r = None
     if solver == "schur":
         ga = c * pc + 7 * c
         g_manifold = ProductManifold(
@@ -251,21 +250,30 @@ def optimize_extrinsics_device(
         )
         out = sout.as_lm_output(pack)
         if opts.core.compute_covariance:
-            jac_r = lm_schur.full_jacobian(
+            # exact block inversion of the separable gram (see
+            # lm_schur.tangent_covariance; full_jacobian's dense assembly +
+            # full-width Cholesky is the path this replaces)
+            tan_free = manifold.ambient_to_tangent_mask(free).astype(x0.dtype)
+            c_t, _ = lm_schur.tangent_covariance(
                 res_view, sout.xg, sout.quats, sout.trans,
                 (obj_xy, img_uv, mask), g_manifold=g_manifold,
-                jac_view_fn=jac_view,
+                jac_view_fn=jac_view, tan_free=tan_free,
+                huber_delta=opts.core.huber_delta, blocks_per_view=c,
             )
+            cov, cov_ok = lm.covariance_from_tangent(c_t, out.x, manifold)
+        else:
+            n_amb = manifold.ambient_dim
+            cov = jnp.zeros((n_amb, n_amb), x0.dtype)
+            cov_ok = jnp.asarray(False)
     else:
         out = lm.lm_core(
             res_fn, x0, manifold, options=opts.core, free_mask=free,
             block_ids=block_ids, num_blocks=v * c, lower=lower,
         )
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, manifold, free_mask=free,
-        block_ids=block_ids, num_blocks=v * c, huber_delta=opts.core.huber_delta,
-        jac_r=jac_r,
-    )
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, manifold, free_mask=free,
+            block_ids=block_ids, num_blocks=v * c, huber_delta=opts.core.huber_delta,
+        )
 
     intr, cqf, ctf, vqf, vtf = unpack(out.x, pc, c, v)
     c_se3_r = blocks.quat_tran_to_poses(cqf, ctf)

@@ -280,20 +280,24 @@ def optimize_intrinsics_device(
             upper=upper,
         )
     if opts.core.compute_covariance:
-        jac_r = None
         if solver == "schur":
-            # assemble (r, J) from per-view blocks instead of re-running a
-            # pc+7V-tangent jacfwd (covariance was 24% of the batched solve)
-            jac_r = lm_schur.full_jacobian(
+            # exact block inversion of the separable gram — never assembles
+            # the (2NV, pc+6V) Jacobian or runs the (pc+6V)-wide Cholesky
+            # (the dense covariance tail was 23% of the B=256 solve,
+            # benchmarks/exp_stage_cost.py round 3)
+            tan_free = manifold.ambient_to_tangent_mask(free).astype(x0.dtype)
+            c_t, _ = lm_schur.tangent_covariance(
                 lambda intr, q, t, o, u, m: _view_residual(model, intr, q, t, o, u, m),
                 sout.xg, sout.quats, sout.trans, (obj_xy, img_uv, mask),
-                jac_view_fn=jac_view,
+                jac_view_fn=jac_view, tan_free=tan_free,
+                huber_delta=opts.core.huber_delta,
             )
-        cov, cov_ok = lm.covariance(
-            res_fn, out.x, manifold, free_mask=free,
-            block_ids=block_ids, num_blocks=v, huber_delta=opts.core.huber_delta,
-            jac_r=jac_r,
-        )
+            cov, cov_ok = lm.covariance_from_tangent(c_t, out.x, manifold)
+        else:
+            cov, cov_ok = lm.covariance(
+                res_fn, out.x, manifold, free_mask=free,
+                block_ids=block_ids, num_blocks=v, huber_delta=opts.core.huber_delta,
+            )
     else:
         # callers that disable covariance shouldn't pay the extra full-width
         # linearization (one pc+7V-tangent jacfwd + inverse per solve)

@@ -421,3 +421,19 @@ def covariance(
         dof = jnp.maximum(1.0, jnp.asarray(m, r.dtype) - manifold.ambient_dim)
         cov = cov * (ssr / dof)
     return cov, ok
+
+
+def covariance_from_tangent(c_t, x, manifold: ProductManifold, free_mask=None):
+    """Lift a precomputed tangent covariance (e.g. lm_schur.tangent_covariance's
+    block inverse) into ambient coordinates: C = D C_t D^T with D the retract
+    Jacobian — the tail of ``covariance`` without re-forming the gram.
+    Returns (cov (ambient, ambient), ok)."""
+    x = jnp.asarray(x)
+    if free_mask is not None:
+        tan_free = manifold.ambient_to_tangent_mask(jnp.asarray(free_mask)).astype(
+            x.dtype
+        )
+        c_t = c_t * tan_free[:, None] * tan_free[None, :]
+    d = manifold.lift_jacobian(x)
+    cov = d @ c_t @ d.T
+    return cov, jnp.all(jnp.isfinite(cov))

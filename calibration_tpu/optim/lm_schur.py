@@ -32,6 +32,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import linalg, se3
 from .core import OptimOptions
@@ -154,6 +155,140 @@ def full_jacobian(
             jac[i, :, pg + 3 :]
         )
     return r.reshape(-1), jfull.reshape(v * m, tdim)
+
+
+def tangent_covariance(
+    residual_view_fn,
+    xg,
+    quats,
+    trans,
+    view_data,
+    g_manifold=None,
+    jac_view_fn=None,
+    *,
+    tan_free=None,
+    huber_delta: float = 0.0,
+    blocks_per_view: int = 1,
+):
+    """Tangent-space covariance (J^T J)^-1 at a solution via exact block
+    inversion of the separable structure.
+
+    Same value (to roundoff) as lm.covariance's dense path fed by
+    ``full_jacobian``, at a fraction of the cost: the dense path assembles
+    a (sum_v m, pg+6V) Jacobian, forms its full gram and runs one
+    (pg+6V)-wide XLA Cholesky inverse; this path never materializes either —
+    per-view 6x6 grams/inverses (unrolled Cholesky), one pg x pg Schur
+    complement inverse, and small matmuls. Measured round 3: covariance was
+    23% of the B=256 config-2 solve through the dense path.
+
+    Block-inverse identities (U = global gram, W_v = cross, V_v = view gram,
+    S = U - sum_v W_v V_v^-1 W_v^T):
+      C_gg   = S^-1
+      C_gv   = -S^-1 W_v V_v^-1
+      C_vivj = delta_ij V_i^-1 + V_i^-1 W_i^T S^-1 W_j V_j^-1
+
+    Huber rows are re-weighted exactly as lm.covariance does (sqrt rho' per
+    loss block, ``blocks_per_view`` equal runs per view). ``tan_free`` is
+    the (pg + 6V,) tangent free-mask in the ProductManifold layout
+    [pg | 3V rot | 3V tra]; frozen dims get a unit diagonal before inversion
+    and zeroed rows/cols after, matching the dense path. Returns
+    (c_t (pg+6V, pg+6V) in manifold layout, ok).
+    """
+    xg = jnp.asarray(xg)
+    pg = g_manifold.tangent_dim if g_manifold is not None else xg.shape[-1]
+    v = quats.shape[0]
+    dtype = xg.dtype
+    tdim = pg + 6 * v
+
+    def res_local(delta, quat, tran, *data):
+        if g_manifold is not None:
+            xg_new = g_manifold.retract(xg, delta[:pg])
+        else:
+            xg_new = xg + delta[:pg]
+        dq = se3.exp_quat(delta[pg : pg + 3])
+        qn = se3.quat_mul(quat, dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return residual_view_fn(xg_new, qn, tran + delta[pg + 3 :], *data)
+
+    zero = jnp.zeros((pg + 6,), dtype)
+    r = jax.vmap(lambda q, t, *d: res_local(zero, q, t, *d))(quats, trans, *view_data)
+    if jac_view_fn is None:
+        jac = jax.vmap(lambda q, t, *d: jax.jacfwd(res_local)(zero, q, t, *d))(
+            quats, trans, *view_data
+        )  # (V, m, pg+6)
+    else:
+        jac = jax.vmap(lambda q, t, *d: jac_view_fn(xg, q, t, *d))(
+            quats, trans, *view_data
+        )
+
+    m = r.shape[-1]
+    if huber_delta > 0:
+        run = m // blocks_per_view
+        s = jnp.sum(r.reshape(v, blocks_per_view, run) ** 2, axis=-1)
+        d2 = huber_delta * huber_delta
+        out = s > d2
+        sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-300))
+        wb = jnp.where(out, huber_delta / sqrt_s, 1.0)
+        sw = jnp.sqrt(jnp.repeat(wb, run, axis=-1))  # (V, m)
+        jw = jac * sw[..., None]
+    else:
+        jw = jac
+
+    if tan_free is not None:
+        tan_free = jnp.asarray(tan_free, dtype)
+        gmask = tan_free[:pg]
+        rot_m = tan_free[pg : pg + 3 * v].reshape(v, 3)
+        tra_m = tan_free[pg + 3 * v :].reshape(v, 3)
+        vmask6 = jnp.concatenate([rot_m, tra_m], axis=-1)  # (V, 6)
+    else:
+        gmask = jnp.ones((pg,), dtype)
+        vmask6 = jnp.ones((v, 6), dtype)
+
+    a_blk = jw[..., :pg] * gmask[None, None, :]
+    b_blk = jw[..., pg:] * vmask6[:, None, :]
+
+    eye6 = jnp.eye(6, dtype=dtype)
+    u = jnp.einsum("vmi,vmj->ij", a_blk, a_blk) + jnp.diag(1.0 - gmask)
+    wv = jnp.einsum("vmi,vmj->vij", a_blk, b_blk)  # (V, pg, 6)
+    vb = jnp.einsum("vmi,vmj->vij", b_blk, b_blk) + eye6 * (1.0 - vmask6)[:, None, :]
+
+    vinv = linalg.spd_inverse(vb)  # (V, 6, 6) unrolled
+    wvinv = jnp.einsum("vij,vjk->vik", wv, vinv)  # (V, pg, 6) = W_v V_v^-1
+    s_mat = u - jnp.einsum("vik,vjk->ij", wvinv, wv)
+    c_gg = linalg.spd_inverse(s_mat)  # (pg, pg) unrolled for pg in size set
+    q = jnp.einsum("ij,vjk->vik", c_gg, wvinv)  # S^-1 W_v V_v^-1 (V, pg, 6)
+    c_gv = -q
+    c_vv = jnp.einsum("vki,wkj->vwij", wvinv, q)  # V_i^-1 W_i^T S^-1 W_j V_j^-1
+    c_vv = c_vv.at[jnp.arange(v), jnp.arange(v)].add(vinv)
+
+    # grouped layout [pg | (rot, tra) per view], then permute to the manifold
+    # layout [pg | 3V rot | 3V tra]
+    top = jnp.concatenate([c_gg, c_gv.transpose(1, 0, 2).reshape(pg, 6 * v)], axis=1)
+    bottom = jnp.concatenate(
+        [
+            jnp.swapaxes(c_gv, -1, -2).reshape(6 * v, pg),
+            c_vv.transpose(0, 2, 1, 3).reshape(6 * v, 6 * v),
+        ],
+        axis=1,
+    )
+    cg = jnp.concatenate([top, bottom], axis=0)  # (tdim, tdim) grouped
+
+    gidx = np.concatenate(
+        [
+            np.arange(pg),
+            np.concatenate([pg + 6 * i + np.arange(3) for i in range(v)])
+            if v
+            else np.zeros((0,), int),
+            np.concatenate([pg + 6 * i + 3 + np.arange(3) for i in range(v)])
+            if v
+            else np.zeros((0,), int),
+        ]
+    )
+    c_t = cg[gidx][:, gidx]
+    if tan_free is not None:
+        c_t = c_t * tan_free[:, None] * tan_free[None, :]
+    ok = jnp.all(jnp.isfinite(c_t))
+    return c_t, ok
 
 
 def lm_core_schur(

@@ -768,3 +768,57 @@ def test_lm_cost_trace_matches_core():
     )
     np.testing.assert_allclose(np.asarray(out2.x), np.asarray(ref2.x), rtol=0, atol=0)
     assert int(out2.iterations) == int(ref2.iterations)
+
+
+def test_tangent_covariance_matches_dense_gram():
+    """lm_schur.tangent_covariance (exact block inversion) must equal the
+    dense (J^T J)^-1 built from full_jacobian's assembled Jacobian — with
+    Huber outlier views re-weighted and frozen dims in both the global and
+    a view block (the production masking cases)."""
+    from calibration_tpu.optim import lm_schur
+    from calibration_tpu.optim.lm import _robust_weights
+
+    rng = np.random.default_rng(23)
+    pg, v, m = 4, 3, 14
+    xg = jnp.asarray(rng.normal(size=pg))
+    quats = jnp.asarray(
+        rng.normal(size=(v, 4)) / np.linalg.norm(rng.normal(size=(v, 4)), axis=-1, keepdims=True)
+    )
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    trans = jnp.asarray(rng.normal(size=(v, 3)))
+    data = rng.normal(size=(v, m, 3))
+    data[1] *= 40.0  # view 1 residuals blow past huber_delta -> weights < 1
+    data = jnp.asarray(data)
+
+    def res_view(xg, q, t, a):
+        # two nonlinear components per point so the 6-dim per-view gram is
+        # full rank (a scalar-per-point residual leaves it singular)
+        rot = se3.quat_to_rotmat(q)
+        y = a @ rot.T + t
+        r1 = y[:, 0] * xg[0] + jnp.sin(y[:, 1] * xg[1]) + y[:, 2] + xg[3] ** 2
+        r2 = y[:, 2] * xg[2] + jnp.cos(y[:, 0] * xg[3]) + y[:, 1] * y[:, 0] * xg[0]
+        return jnp.concatenate([r1, r2])
+
+    huber = 1.0
+    tdim = pg + 6 * v
+    tan_free = np.ones(tdim)
+    tan_free[2] = 0.0  # frozen global dim
+    tan_free[pg + 3 : pg + 6] = 0.0  # view 1 rotation frozen
+    tan_free = jnp.asarray(tan_free)
+
+    c_blk, ok = lm_schur.tangent_covariance(
+        res_view, xg, quats, trans, (data,),
+        tan_free=tan_free, huber_delta=huber,
+    )
+    assert bool(ok)
+
+    # dense oracle: assembled Jacobian -> weighted masked gram -> inverse
+    r, jfull = lm_schur.full_jacobian(res_view, xg, quats, trans, (data,))
+    ids = np.repeat(np.arange(v), 2 * m)
+    w, _ = _robust_weights(jnp.asarray(np.asarray(r)), jnp.asarray(ids), v, huber)
+    w = np.asarray(w)
+    assert w.min() < 0.99  # the outlier view really is down-weighted
+    jw = np.asarray(jfull) * np.sqrt(w)[:, None] * np.asarray(tan_free)[None, :]
+    a = jw.T @ jw + np.diag(1.0 - np.asarray(tan_free))
+    c_dense = np.linalg.inv(a) * np.asarray(tan_free)[:, None] * np.asarray(tan_free)[None, :]
+    np.testing.assert_allclose(np.asarray(c_blk), c_dense, rtol=1e-8, atol=1e-12)
