@@ -158,10 +158,10 @@ def collect_planar_views(
     raw = []
     active: List[ActiveView] = []
     for img in detections.images:
-        if len(img.points) < opts.min_corners_per_view:
+        if img.num_points() < opts.min_corners_per_view:
             continue
         raw.append(make_planar_arrays(img))
-        active.append(ActiveView(img.file, len(img.points)))
+        active.append(ActiveView(img.file, img.num_points()))
     obj, uv, mask = pad_views(raw)
     return obj, uv, mask, active
 
@@ -189,6 +189,18 @@ def _ransac_prefilter(obj, uv, mask, ropts: ransac_mod.RansacOptions):
     inliers when its RANSAC succeeded, its original mask otherwise (identical
     semantics to the per-view loop).
     """
+    import jax.numpy as jnp
+
+    keep, success, counts, rms = _ransac_prefilter_jit()(
+        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(mask, bool), ropts
+    )
+    return np.asarray(keep), np.asarray(success), np.asarray(counts), np.asarray(rms)
+
+
+@functools.lru_cache(maxsize=None)
+def _ransac_prefilter_jit():
+    """Process-lifetime jit for the prefilter — a fresh jax.jit per call
+    would retrace (and reload the cached executable) on every sensor."""
     import jax
     import jax.numpy as jnp
 
@@ -199,10 +211,7 @@ def _ransac_prefilter(obj, uv, mask, ropts: ransac_mod.RansacOptions):
         keep = jnp.where(rr.success[:, None], rr.inlier_mask, mask)
         return keep, rr.success, rr.inlier_count, rr.inlier_rms
 
-    keep, success, counts, rms = run(
-        jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(mask, bool), ropts
-    )
-    return np.asarray(keep), np.asarray(success), np.asarray(counts), np.asarray(rms)
+    return run
 
 
 class PlanarIntrinsicCalibrationFacade:
@@ -397,10 +406,16 @@ class PlanarIntrinsicCalibrationFacade:
             uv_b = np.stack([prepared[i].uv for i in idxs])
             mask_b = np.stack([prepared[i].mask for i in idxs])
             vv_b = np.stack([prepared[i].view_valid for i in idxs])
-            seed, pose_ok, refine_out = intrinsics_facade_batch(
-                obj_b, uv_b, mask=mask_b, view_valid=vv_b,
-                opts=cfg.options.optim_options, bounds=bounds, zero_skew=zero_skew,
-                model_name=model.name,
+            import jax
+
+            # ONE device->host transfer for the whole bucket (per-job sliced
+            # conversions each pay a remote round trip on this attachment)
+            seed, pose_ok, refine_out = jax.device_get(
+                intrinsics_facade_batch(
+                    obj_b, uv_b, mask=mask_b, view_valid=vv_b,
+                    opts=cfg.options.optim_options, bounds=bounds,
+                    zero_skew=zero_skew, model_name=model.name,
+                )
             )
             lm_out, intr_b, poses_b, view_err_b, cov_b, cov_ok_b = refine_out
             if model.param_count == 10:

@@ -94,7 +94,12 @@ def handeye_fleet(
     for (_, ang, opts), idxs in buckets.items():
         bg = jnp.asarray(np.stack([jobs[i][0] for i in idxs]))
         ct = jnp.asarray(np.stack([jobs[i][1] for i in idxs]))
-        lm_out, pose, cov, cov_ok = _handeye_fleet_jit(bg, ct, ang, opts)
+        # ONE device->host transfer for the whole bucket: per-job sliced
+        # conversions each paid a remote round trip (measured 3.7s of a
+        # 3.8s 16-rig call; the dispatch itself is 64ms)
+        lm_out, pose, cov, cov_ok = jax.device_get(
+            _handeye_fleet_jit(bg, ct, ang, opts)
+        )
         for j, i in enumerate(idxs):
             out[i] = _wrap_result(
                 jax.tree_util.tree_map(lambda a, j=j: a[j], lm_out),
@@ -177,11 +182,13 @@ def extrinsics_fleet(jobs: Sequence[ExtrinsicsJob]):
         stack = lambda field: jnp.asarray(
             np.stack([np.asarray(getattr(jobs[i], field)) for i in idxs])
         )
-        init, lm = _extrinsics_fleet_jit(
-            stack("obj"), stack("uv"),
-            jnp.asarray(np.stack([jobs[i].mask for i in idxs])),
-            stack("cameras"), opts,
-        )
+        init, lm = jax.device_get(
+            _extrinsics_fleet_jit(
+                stack("obj"), stack("uv"),
+                jnp.asarray(np.stack([jobs[i].mask for i in idxs])),
+                stack("cameras"), opts,
+            )
+        )  # one transfer per bucket — per-job slices are then host-side
         lm_out, intr, c_se3_r, r_se3_t, cov, cov_ok = lm
         for j, i in enumerate(idxs):
             core = OptimResult(
@@ -225,12 +232,13 @@ class BundleJob:
     opts: object  # BundleOptions (frozen dataclass)
 
 
-def bundle_fleet(jobs: Sequence[BundleJob]):
-    """Batched optimize_bundle: one vmapped dispatch per
-    (O, N, C, pc, opts) bucket. Returns BundleResult per job, in order —
-    identical to serial optimize_bundle (same device core under vmap)."""
-    from ..optim.bundle import BundleResult, optimize_bundle_device
-    from ..optim.core import OptimResult, TerminationType, brief_report
+@functools.lru_cache(maxsize=None)
+def _bundle_fleet_jit():
+    """Process-lifetime jit for the bundle fleet (deferred import breaks the
+    optim<->pipeline cycle). A fresh jax.jit per bundle_fleet call retraced
+    the full vmapped bundle LM graph on EVERY pipeline run — measured 15s of
+    a 26s warm 16-rig pipeline execute on the TPU attachment."""
+    from ..optim.bundle import optimize_bundle_device
 
     @functools.partial(jax.jit, static_argnames=("opts",))
     def fleet_jit(obj, uv, bg, ci, cams, g0, b0, mask, opts):
@@ -238,6 +246,18 @@ def bundle_fleet(jobs: Sequence[BundleJob]):
             o, u, b, c, k, g, t, mask=m, opts=opts
         )
         return jax.vmap(fn)(obj, uv, bg, ci, cams, g0, b0, mask)
+
+    return fleet_jit
+
+
+def bundle_fleet(jobs: Sequence[BundleJob]):
+    """Batched optimize_bundle: one vmapped dispatch per
+    (O, N, C, pc, opts) bucket. Returns BundleResult per job, in order —
+    identical to serial optimize_bundle (same device core under vmap)."""
+    from ..optim.bundle import BundleResult
+    from ..optim.core import OptimResult, TerminationType, brief_report
+
+    fleet_jit = _bundle_fleet_jit()
 
     buckets: Dict[tuple, List[int]] = {}
     for idx, job in enumerate(jobs):
@@ -249,12 +269,16 @@ def bundle_fleet(jobs: Sequence[BundleJob]):
         stack = lambda field: jnp.asarray(
             np.stack([np.asarray(getattr(jobs[i], field)) for i in idxs])
         )
-        lm_out, intr, g_se3_c, b_se3_t, cov, cov_ok = fleet_jit(
-            stack("obj"), stack("uv"), stack("bg"),
-            jnp.asarray(np.stack([np.asarray(jobs[i].cam_idx) for i in idxs]), jnp.int32),
-            stack("cameras"), stack("he_init"), stack("target"), stack("mask"),
-            opts,
-        )
+        lm_out, intr, g_se3_c, b_se3_t, cov, cov_ok = jax.device_get(
+            fleet_jit(
+                stack("obj"), stack("uv"), stack("bg"),
+                jnp.asarray(
+                    np.stack([np.asarray(jobs[i].cam_idx) for i in idxs]), jnp.int32
+                ),
+                stack("cameras"), stack("he_init"), stack("target"), stack("mask"),
+                opts,
+            )
+        )  # one transfer per bucket — per-job slices are then host-side
         for j, i in enumerate(idxs):
             core = OptimResult(
                 success=bool(lm_out.success[j]),

@@ -48,13 +48,7 @@ def make_planar_arrays(image: PlanarImageDetections) -> Tuple[np.ndarray, np.nda
     """Detections -> (obj_xy (N,2), img_uv (N,2)) — the array equivalent of
     make_planar_view (planar_utils.cpp:54-61): local_x/local_y are object
     plane coords, x/y the pixel measurements."""
-    n = len(image.points)
-    obj = np.zeros((n, 2))
-    uv = np.zeros((n, 2))
-    for i, p in enumerate(image.points):
-        obj[i] = (p.local_x, p.local_y)
-        uv[i] = (p.x, p.y)
-    return obj, uv
+    return image.arrays()
 
 
 _VIEW_BUCKETS = (4, 6, 8, 12, 16, 24, 32, 48, 64)

@@ -85,3 +85,46 @@ def test_unicode_and_escapes():
     payload = {"sensor_id": "càm\\0", "images": []}
     p = load_detections_packed(json.dumps(payload))
     assert p.sensor_id == "càm\\0"
+
+def test_loader_fast_path_equivalence(tmp_path):
+    """JsonPlanarDatasetLoader's native fast path (array-backed images) must
+    be indistinguishable from the reflection path: same metadata, same
+    arrays, same lazily-materialized point objects, same packed() output."""
+    from calibration_tpu.io import jsonio
+    from calibration_tpu.pipeline.dataset import PlanarDetections
+    from calibration_tpu.pipeline.loaders import JsonPlanarDatasetLoader
+
+    payload = _payload(4, 6)
+    payload["image_directory"] = "dir"
+    payload["algo_version"] = "v2"
+    payload["metadata"] = {"detector": {"name": "synthetic"}}
+    p = tmp_path / "det.json"
+    p.write_text(json.dumps(payload))
+
+    loader = JsonPlanarDatasetLoader()
+    loader.add_entry(p, "cam0")
+    ds = loader.load()
+    fast = ds.planar_cameras[0]
+    ref = jsonio.from_jsonable(payload, PlanarDetections)
+
+    # fast path actually taken: images are array-backed
+    assert getattr(fast.images[0], "_obj_xy", None) is not None
+
+    assert (fast.sensor_id, fast.feature_type, fast.algo_version) == (
+        ref.sensor_id, ref.feature_type, ref.algo_version)
+    assert fast.image_directory == "dir"
+    assert fast.metadata == ref.metadata
+    for a, b in zip(ref.images, fast.images):
+        assert a.file == b.file
+        assert b.num_points() == len(a.points)
+        np.testing.assert_array_equal(a.arrays()[0], b.arrays()[0])
+        np.testing.assert_array_equal(a.arrays()[1], b.arrays()[1])
+        # lazy materialization reproduces the exact point objects
+        assert b.points == a.points
+    for x, y in zip(ref.packed(), fast.packed()):
+        if isinstance(x, list):
+            assert x == y
+        else:
+            np.testing.assert_array_equal(x, y)
+    # raw payload retention (reference parity: dataset.h:48)
+    assert str(p) in ds.raw_json and "images" in ds.raw_json[str(p)]
