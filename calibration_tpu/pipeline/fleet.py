@@ -108,6 +108,35 @@ def handeye_fleet(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("min_angle_deg",))
+def _handeye_dlt_fleet_jit(bg, ct, min_angle_deg):
+    fn = lambda b, c: hel.estimate_handeye_dlt(b, c, min_angle_deg)
+    return jax.vmap(fn)(bg, ct)
+
+
+def handeye_dlt_fleet(
+    jobs: Sequence[Tuple[np.ndarray, np.ndarray, float]],
+) -> List[Tuple[np.ndarray, bool]]:
+    """Batched Tsai-Lenz DLT seeds (no LM): the bundle stage's hand-eye
+    initialization fallback when no prior hand-eye result exists
+    (bundle_utils.cpp:148-200 runs estimate_handeye_dlt per rig x sensor).
+    jobs: (base_se3_gripper (P, 4, 4), cam_se3_target (P, 4, 4),
+    min_angle_deg); bucketed by (P, min_angle_deg). Returns (pose (4, 4)
+    numpy, ok bool) per job, in order."""
+    buckets: Dict[tuple, List[int]] = {}
+    for idx, (bg, _, ang) in enumerate(jobs):
+        buckets.setdefault((bg.shape[0], float(ang)), []).append(idx)
+
+    out: List = [None] * len(jobs)
+    for (_, ang), idxs in buckets.items():
+        bg = jnp.asarray(np.stack([jobs[i][0] for i in idxs]))
+        ct = jnp.asarray(np.stack([jobs[i][1] for i in idxs]))
+        poses, oks = jax.device_get(_handeye_dlt_fleet_jit(bg, ct, ang))
+        for j, i in enumerate(idxs):
+            out[i] = (poses[j], bool(oks[j]))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("kmax",))
 def _average_isometries_padded_jit(poses, mask, kmax):
     del kmax  # static shape key only

@@ -539,12 +539,14 @@ class BundleAdjustmentStage(CalibrationStage):
         poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
 
         # ---- phase C: hand-eye + target inits (prior stage / DLT / identity) ----
-        avg_groups, avg_recs = [], []
+        # C1: decide each (rig, sensor) init source; gather the DLT seeds
+        # (bundle_utils.cpp:148-200 solves them per rig x sensor — here they
+        # run as one batched dispatch, fleet.handeye_dlt_fleet)
+        dlt_jobs, dlt_slots = [], []
         for rec in recs:
             if not rec["solve"]:
                 continue
             rig = rec["rig"]
-            rig_json = rec["json"]
             accum_base = rec["accum_base"]
             accum_cam = {
                 sidx: [poses[i] for i in idx_list]
@@ -552,10 +554,9 @@ class BundleAdjustmentStage(CalibrationStage):
             }
             rec["accum_cam"] = accum_cam
 
-            # hand-eye init: prior stage -> DLT -> identity (bundle_utils.cpp:148-200)
             he_init = np.tile(np.eye(4), (len(rig.sensors), 1, 1))
             he_report = []
-            he_failed = False
+            rec["he_failed"] = False
             rig_he = context.handeye_results.get(rig.rig_id, {})
             for sidx, sensor_id in enumerate(rig.sensors):
                 entry = {"sensor_id": sensor_id, "source": "identity"}
@@ -564,26 +565,56 @@ class BundleAdjustmentStage(CalibrationStage):
                     he_init[sidx] = he.g_se3_c
                     entry.update(source="handeye", success=True)
                 elif len(accum_cam[sidx]) >= 2:
-                    try:
-                        pose, ok = handeye_linear.estimate_handeye_dlt(
-                            jnp.asarray(np.stack(accum_base[sidx])),
-                            jnp.asarray(np.stack(accum_cam[sidx])),
-                            rig.min_angle_deg,
-                        )
-                        he_init[sidx] = np.asarray(pose)
-                        entry.update(source="dlt", success=bool(ok))
-                        if not bool(ok):
-                            he_failed = True
-                    except Exception as ex:  # noqa: BLE001
-                        entry.update(source="dlt", success=False, error=str(ex))
-                        he_failed = True
+                    entry["source"] = "dlt"
+                    dlt_jobs.append((
+                        np.stack(accum_base[sidx]),
+                        np.stack(accum_cam[sidx]),
+                        rig.min_angle_deg,
+                    ))
+                    dlt_slots.append((rec, sidx, entry))
                 else:
                     entry.update(success=False, error="insufficient_observations")
-                    he_failed = True
+                    rec["he_failed"] = True
                 he_report.append(entry)
-            rig_json["handeye_initialization"] = he_report
+            rec["json"]["handeye_initialization"] = he_report
             rec["he_init"] = he_init
             rec["he_report"] = he_report
+
+        # C2: one batched DLT dispatch, fill the deferred slots
+        try:
+            dlt_results = fleet.handeye_dlt_fleet(dlt_jobs) if dlt_jobs else []
+        except Exception:  # pragma: no cover — shape/compile failure fallback
+            dlt_results = []
+            for bg_j, ct_j, ang_j in dlt_jobs:
+                try:
+                    pose, ok = handeye_linear.estimate_handeye_dlt(
+                        jnp.asarray(bg_j), jnp.asarray(ct_j), ang_j
+                    )
+                    dlt_results.append((np.asarray(pose), bool(ok)))
+                except Exception as ex:  # noqa: BLE001
+                    dlt_results.append(ex)
+        for (rec, sidx, entry), res in zip(dlt_slots, dlt_results):
+            if isinstance(res, Exception):
+                entry.update(success=False, error=str(res))
+                rec["he_failed"] = True
+                continue
+            pose, ok = res
+            rec["he_init"][sidx] = pose
+            entry["success"] = bool(ok)
+            if not bool(ok):
+                rec["he_failed"] = True
+
+        # C3: target init per rig (needs the final he_init)
+        avg_groups, avg_recs = [], []
+        for rec in recs:
+            if not rec["solve"]:
+                continue
+            rig = rec["rig"]
+            rig_json = rec["json"]
+            accum_base = rec["accum_base"]
+            accum_cam = rec["accum_cam"]
+            he_init = rec["he_init"]
+            he_failed = rec["he_failed"]
 
             # target init: config -> averaged b*X*c -> identity (bundle_utils.cpp:202-237)
             if rig.initial_target is not None:

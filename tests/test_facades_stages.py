@@ -768,3 +768,76 @@ def test_handeye_stage_duplicate_rig_ids_do_not_cross_contaminate():
     assert len(rigs_json) == 2
     assert rigs_json[0]["status"] == "ok"
     assert rigs_json[1]["status"] == "failed", rigs_json[1]
+
+
+def test_linescan_cli_scheimpflug(tmp_path):
+    """The linescan CLI accepts a camera `model` (+ `tilt`) — the app-level
+    face of the model-generic facade (reference linescan.h:63-91)."""
+    import json
+
+    from calibration_tpu.apps import linescan_calibration
+    from calibration_tpu.models import scheimpflug
+
+    kmtx = synth.default_camera()[:5]
+    dist = synth.default_camera()[5:]
+    taux, tauy = 0.06, -0.04
+    intr12 = np.concatenate([kmtx, dist, [taux, tauy]])
+    obj = synth.make_target_grid(5, 7, 0.05)
+    plane_n = np.array([0.1, -0.85, 0.52])
+    plane_n /= np.linalg.norm(plane_n)
+    plane_d = -0.45
+
+    views = []
+    for k in range(3):
+        pose = synth.euler_pose(
+            0.2 - 0.1 * k, -0.1 + 0.08 * k, 0.05, [0.02 * k, -0.01, 0.9 + 0.1 * k]
+        )
+        r, t = pose[:3, :3], pose[:3, 3]
+        obj3 = np.concatenate([obj, np.zeros((obj.shape[0], 1))], -1)
+        uv = np.asarray(
+            scheimpflug.project(jnp.asarray(intr12), jnp.asarray(obj3 @ r.T + t))
+        )
+        a, b = plane_n @ r[:, 0], plane_n @ r[:, 1]
+        c = plane_n @ t + plane_d
+        xs = np.linspace(-0.12, 0.12, 25)
+        ys = (-c - a * xs) / b
+        pts_c = np.stack([xs, ys, np.zeros_like(xs)], -1) @ r.T + t
+        laser_uv = np.asarray(
+            scheimpflug.project(jnp.asarray(intr12), jnp.asarray(pts_c))
+        )
+        views.append(
+            {
+                "target_view": [
+                    {"object_xy": obj[j].tolist(), "image_uv": uv[j].tolist()}
+                    for j in range(obj.shape[0])
+                ],
+                "laser_uv": laser_uv.tolist(),
+            }
+        )
+
+    inp = tmp_path / "ls.json"
+    inp.write_text(
+        json.dumps(
+            {
+                "camera": {
+                    "kmtx": {"fx": kmtx[0], "fy": kmtx[1], "cx": kmtx[2],
+                             "cy": kmtx[3], "skew": kmtx[4]},
+                    "distortion": {"coeffs": dist.tolist()},
+                    "model": "scheimpflug_pinhole_brown_conrady",
+                    "tilt": {"taux": taux, "tauy": tauy},
+                },
+                "views": views,
+                "plane_fit": {"method": "svd"},
+            }
+        )
+    )
+    outp = tmp_path / "out.json"
+    rc = linescan_calibration.main(["--input", str(inp), "--output", str(outp)])
+    assert rc == 0
+    out = json.loads(outp.read_text())
+    n = np.asarray(out["plane"]["n"])
+    d = out["plane"]["d"]
+    if n @ plane_n < 0:
+        n, d = -n, -d
+    np.testing.assert_allclose(n, plane_n, atol=2e-3)
+    np.testing.assert_allclose(d, plane_d, atol=2e-3)
