@@ -43,6 +43,21 @@ def main(argv=None) -> int:
         dist_json = cam_json.get("distortion", {})
         coeffs = np.asarray(dist_json.get("coeffs", [0.0] * 5), float)
         camera = np.asarray(pinhole.pack(kmtx, coeffs))
+        # any registry camera model (the facade — like the reference's
+        # calibrate_laser_plane, linescan.h:63-91 — is generic over it);
+        # Scheimpflug adds {"tilt": {"taux": …, "tauy": …}}
+        model_name = cam_json.get("model", "pinhole_brown_conrady")
+        if model_name.startswith("scheimpflug"):
+            from ..models import scheimpflug
+
+            tilt = cam_json.get("tilt", {})
+            camera = np.asarray(
+                scheimpflug.pack(
+                    camera,
+                    tilt.get("taux", tilt.get("field_0", 0.0)),
+                    tilt.get("tauy", tilt.get("field_1", 0.0)),
+                )
+            )
 
         views = []
         for vj in j["views"]:
@@ -70,7 +85,7 @@ def main(argv=None) -> int:
                 )
 
         facade = LinescanCalibrationFacade()
-        run = facade.calibrate(camera, views, options)
+        run = facade.calibrate(camera, views, options, model=model_name)
 
         out = {
             "success": run.success,
