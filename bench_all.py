@@ -43,28 +43,60 @@ def repeat_seed(base, k):
     return 1000 + base + RUN_SALT % 1_000_000_007 + k
 
 
+def _fingerprint(tree):
+    """Bit-level hash of every array leaf in a result pytree."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
 def timed_batch(fn, args, make_args, repeats=3):
     """Compile+warmup on the base ``args`` (whose result is returned for the
     parity checks), then min wall time over ``repeats`` runs on DISTINCT
     same-shape datasets from ``make_args(k)``.
 
-    Distinct data is mandatory: the remote execution layer memoizes
-    identical (executable, input) pairs, and 1e-9 eps-perturbations proved
-    unreliable — a memo hit 'solved' a stereo batch in 1.4ms vs the real
-    800ms (round 2). Callers must build make_args(k) seeds via
-    ``repeat_seed`` so repeats differ across runs as well."""
+    Distinct data is NECESSARY but NOT SUFFICIENT: the remote execution
+    layer memoizes (executable, input) pairs AND has been observed (round 3,
+    hand-eye) replaying the warmup's result for same-shape calls with
+    genuinely different input values — 256 LM solves "ran" in 1.5ms vs the
+    real 3.1s, three salted repeats in a row. A replay returns the warmup
+    output bit-for-bit, so every repeat's output is fingerprinted and
+    repeats whose outputs are bit-identical to the warmup's are dropped as
+    replays (distinct noise in distinct datasets makes real outputs differ).
+    If every repeat is a replay, each is retried once on yet-another
+    dataset; if that still yields nothing honest, the run aborts rather
+    than report a fantasy number."""
     import jax
 
     t0 = time.time()
     out = fn(*args)
     jax.block_until_ready(out)
     _log(f"  compile+first: {time.time() - t0:.1f}s")
+    base_fp = _fingerprint(out)
     times = []
-    for k in range(1, repeats + 1):
-        a = make_args(k)
+    k, attempts = 1, 0
+    while len(times) < repeats and attempts < 3 * repeats:
+        attempts += 1
+        a = make_args(1000 * attempts + k)
         t0 = time.time()
-        jax.block_until_ready(fn(*a))
-        times.append(time.time() - t0)
+        r = fn(*a)
+        jax.block_until_ready(r)
+        dt = time.time() - t0
+        if _fingerprint(r) == base_fp:
+            _log(f"  repeat {attempts}: {dt:.4f}s REPLAY (output == warmup bits) — dropped")
+            continue
+        times.append(dt)
+        k += 1
+    if not times:
+        raise RuntimeError(
+            "every timed repeat was an execution-layer replay; no honest timing"
+        )
+    _log(f"  repeats: {['%.4fs' % t for t in times]}")
     return out, min(times)
 
 

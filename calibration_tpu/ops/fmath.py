@@ -14,12 +14,19 @@ for any shape on any backend, CPU or TPU. For float32 inputs the native ops
 are used (they are fine at that precision).
 
 Only the functions the numerical core needs are implemented; everything is
-differentiable (polynomials differentiate to polynomials of the right
-accuracy).
+differentiable. Each public function carries an exact ``jax.custom_jvp``
+rule (d sin = cos, d atan = 1/(1+x^2), ...): without it, jacfwd traces
+through the argument-reduction + polynomial chains term by term, and with
+the 12-16-tangent batches the LM engines push through `se3.exp_so3` /
+`log_so3` / the Scheimpflug tilt per view per iteration, that differentiated
+chain dominated the transcendental-bound solves (hand-eye config 4, the
+Scheimpflug config 2S). The closed-form rules are both cheaper and *more*
+accurate than the differentiated polynomial.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # --- sin/cos kernel coefficients on [-pi/4, pi/4] (fdlibm k_sin/k_cos) ---
@@ -75,6 +82,26 @@ def _reduce(x):
     return y, k
 
 
+@jax.custom_jvp
+def sincos(x):
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float64:
+        return jnp.sin(x), jnp.cos(x)
+    y, k = _reduce(x)
+    s, c = _k_sin(y), _k_cos(y)
+    sin_v = jnp.where(k == 0, s, jnp.where(k == 1, c, jnp.where(k == 2, -s, -c)))
+    cos_v = jnp.where(k == 0, c, jnp.where(k == 1, -s, jnp.where(k == 2, -c, s)))
+    return sin_v, cos_v
+
+
+@sincos.defjvp
+def _sincos_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    s, c = sincos(x)
+    return (s, c), (c * t, -s * t)
+
+
+@jax.custom_jvp
 def sin(x):
     x = jnp.asarray(x)
     if x.dtype != jnp.float64:
@@ -86,6 +113,14 @@ def sin(x):
     )
 
 
+@sin.defjvp
+def _sin_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    s, c = sincos(x)
+    return s, c * t
+
+
+@jax.custom_jvp
 def cos(x):
     x = jnp.asarray(x)
     if x.dtype != jnp.float64:
@@ -97,15 +132,11 @@ def cos(x):
     )
 
 
-def sincos(x):
-    x = jnp.asarray(x)
-    if x.dtype != jnp.float64:
-        return jnp.sin(x), jnp.cos(x)
-    y, k = _reduce(x)
-    s, c = _k_sin(y), _k_cos(y)
-    sin_v = jnp.where(k == 0, s, jnp.where(k == 1, c, jnp.where(k == 2, -s, -c)))
-    cos_v = jnp.where(k == 0, c, jnp.where(k == 1, -s, jnp.where(k == 2, -c, s)))
-    return sin_v, cos_v
+@cos.defjvp
+def _cos_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    s, c = sincos(x)
+    return c, -s * t
 
 
 # --- atan (fdlibm rational polynomial with 4-interval reduction) ---
@@ -145,6 +176,7 @@ def _atan_poly(x):
     return x - x * (s1 + s2)
 
 
+@jax.custom_jvp
 def atan(x):
     x = jnp.asarray(x)
     if x.dtype != jnp.float64:
@@ -177,6 +209,13 @@ def atan(x):
     return jnp.where(small, t0, sign * r_large)
 
 
+@atan.defjvp
+def _atan_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return atan(x), t / (1.0 + x * x)
+
+
+@jax.custom_jvp
 def atan2(y, x):
     """Accurate four-quadrant arctangent."""
     y = jnp.asarray(y)
@@ -194,6 +233,15 @@ def atan2(y, x):
     # y == 0: 0 for x >= 0, pi for x < 0 (sign of y ignored for simplicity)
     res = jnp.where(y == 0, jnp.where(x < 0, _PI_HI, 0.0), res)
     return res
+
+
+@atan2.defjvp
+def _atan2_jvp(primals, tangents):
+    (y, x), (ty, tx) = primals, tangents
+    r2 = x * x + y * y
+    safe = jnp.where(r2 == 0, 1.0, r2)  # primal is 0 at the origin; pin d to 0
+    d = jnp.where(r2 == 0, 0.0, (x * ty - y * tx) / safe)
+    return atan2(y, x), d
 
 
 def asin(x):
