@@ -746,6 +746,8 @@ def main():
         res = CONFIGS[key]()
         results.append(res)
         print(json.dumps(res), flush=True)
+    if os.environ.get("BENCH_NO_WRITE"):
+        return  # experimental sweep: print rows, leave BENCH_ALL.json alone
     # merge by metric so subset runs (BENCH_CONFIGS=...) update in place
     # instead of clobbering the full table
     merged = {}

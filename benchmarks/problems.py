@@ -21,6 +21,37 @@ def np_project(intr, pc):
     return np.stack([fx * xd + sk * yd + cx, fy * yd + cy], -1)
 
 
+def np_project_scheimpflug(intr12, pc):
+    """Scheimpflug (tilted-sensor) forward projection in numpy — the exact
+    mirror of models/scheimpflug.py::project (same Ry*Rx rotation, ray/plane
+    intersection, distorted delta + linear principal shift). Data generators
+    must stay pure numpy: one jnp call per view per rig costs a remote
+    dispatch round trip each (a 256-rig dataset build took ~20 min and
+    stalled bench config 5S)."""
+    tx, ty = intr12[10], intr12[11]
+    sx, cx_ = np.sin(tx), np.cos(tx)
+    sy, cy_ = np.sin(ty), np.cos(ty)
+    rot = np.array(
+        [
+            [cy_, sx * sy, cx_ * sy],
+            [0.0, cx_, -sx],
+            [-sy, sx * cy_, cx_ * cy_],
+        ]
+    )
+    axis, base, normal = rot[:, 0], rot[:, 1], rot[:, 2]
+    sden = pc @ normal
+    mx = (pc @ axis) / sden
+    my = (pc @ base) / sden
+    mx0 = rot[2, 0] / rot[2, 2]
+    my0 = rot[2, 1] / rot[2, 2]
+
+    fx, fy, cx, cy, sk = intr12[:5]
+    xd, yd, _, _ = cb.distort_with_jac(mx - mx0, my - my0, intr12[5:10])
+    px = np.stack([fx * xd + sk * yd, fy * yd], -1)
+    shift = np.array([fx * mx0 + sk * my0 + cx, fy * my0 + cy])
+    return px + shift
+
+
 def grid(rows, cols, pitch):
     ys, xs = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
     pts = np.stack([xs.ravel() * pitch, ys.ravel() * pitch], -1)
@@ -180,14 +211,8 @@ def linescan_problems(batch, views=6, rows=5, cols=7, n_laser=40, noise=0.1, see
     obj = grid(rows, cols, 0.03)
     intr = np.array([600.0, 610.0, 320.0, 240.0, 0.0, -0.12, 0.04, 0.0, 1e-4, -1e-4])
     if tilt_tau is not None:
-        import jax.numpy as jnp
-
-        from calibration_tpu.models import scheimpflug
-
         intr_full = np.concatenate([intr, np.asarray(tilt_tau, float)])
-        proj = lambda pts: np.asarray(
-            scheimpflug.project(jnp.asarray(intr_full), jnp.asarray(pts))
-        )
+        proj = lambda pts: np_project_scheimpflug(intr_full, pts)
     else:
         intr_full = intr
         proj = lambda pts: np_project(intr, pts)
