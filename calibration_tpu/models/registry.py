@@ -23,6 +23,11 @@ class CameraModelSpec:
     idx_fx: int
     idx_fy: int
     idx_skew: int
+    # start of the Brown-Conrady distortion vector [k1, k2, k3, p1, p2] in
+    # the flat packing (CameraTraits order, pinhole.h:120-122: distortion
+    # follows [fx, fy, cx, cy, skew]); fixed_distortion_indices are relative
+    # to this vector (reference intrinsics.h:18-19 semantics)
+    idx_dist0: int
     project: Callable  # (intr, xyz[...,3]) -> uv[...,2]
     unproject: Callable  # (intr, uv[...,2]) -> model-native xy[...,2]
     apply_intrinsics: Callable  # pixel -> normalized
@@ -41,6 +46,7 @@ PINHOLE = CameraModelSpec(
     idx_fx=pinhole.IDX_FX,
     idx_fy=pinhole.IDX_FY,
     idx_skew=pinhole.IDX_SKEW,
+    idx_dist0=pinhole.IDX_SKEW + 1,
     project=pinhole.project,
     unproject=pinhole.unproject,
     apply_intrinsics=pinhole.apply_intrinsics,
@@ -54,6 +60,7 @@ SCHEIMPFLUG = CameraModelSpec(
     idx_fx=scheimpflug.IDX_FX,
     idx_fy=scheimpflug.IDX_FY,
     idx_skew=scheimpflug.IDX_SKEW,
+    idx_dist0=scheimpflug.IDX_SKEW + 1,
     project=scheimpflug.project,
     unproject=scheimpflug.unproject,
     apply_intrinsics=scheimpflug.apply_intrinsics,

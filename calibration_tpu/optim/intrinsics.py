@@ -172,13 +172,34 @@ def optimize_intrinsics_device(
     if view_valid is not None:
         mask = mask * jnp.asarray(view_valid, mask.dtype)[:, None]
 
+    init_intr = jnp.asarray(init_intr)
+    if opts.fixed_distortion_indices:
+        # freeze the requested Brown-Conrady coefficients at their assigned
+        # values (default 0, matching semidlt/fit_distortion_full semantics).
+        # Beyond reference parity — intrinsics.h:18-19 declares the fields
+        # but intrinsics.cpp never reads them — this is ALSO the cure for the
+        # tilt/tangential degeneracy: a Scheimpflug solve with free p1/p2
+        # wanders a cost-flat tau~p1/p2 valley for 10-58 linearizations vs
+        # pinhole's 5-6 (measured, benchmarks/exp_scheim_iters); fixing
+        # p1=p2=0 (the reference's own Scheimpflug camera configuration,
+        # scheimpflug_test.cpp:17-18 two-coefficient distortion) makes tilt
+        # identifiable and restores pinhole-class convergence.
+        for i, idx in enumerate(opts.fixed_distortion_indices):
+            val = (
+                opts.fixed_distortion_values[i]
+                if i < len(opts.fixed_distortion_values)
+                else 0.0
+            )
+            init_intr = init_intr.at[model.idx_dist0 + idx].set(val)
     quats, trans = blocks.poses_to_quat_tran(jnp.asarray(init_poses))
-    x0 = blocks.pack_intr_quats_trans(jnp.asarray(init_intr), quats, trans)
+    x0 = blocks.pack_intr_quats_trans(init_intr, quats, trans)
     manifold = make_manifold(pc, v)
 
     free = np.ones((pc + 7 * v,), bool)
     if not opts.optimize_skew:
         free[model.idx_skew] = False
+    for idx in opts.fixed_distortion_indices:
+        free[model.idx_dist0 + idx] = False
     free = jnp.asarray(free)
     if view_valid is not None:
         vv = jnp.asarray(view_valid, bool)

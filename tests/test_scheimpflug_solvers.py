@@ -69,3 +69,40 @@ def test_scheimpflug_bundle_handeye_recovery():
     assert res.core.success
     assert synth.rot_err_deg(res.g_se3_c[0], sim["g_se3_c"]) < 1e-5
     assert synth.trans_err(res.g_se3_c[0], sim["g_se3_c"]) < 1e-6
+
+
+def test_fixed_distortion_indices_full_solver():
+    """fixed_distortion_indices now reaches the FULL intrinsics solver (the
+    reference declares the fields, intrinsics.h:18-19, but only its semidlt
+    path reads them): fixed coefficients land exactly at the assigned values
+    and the tilt/tangential degeneracy disappears — a Scheimpflug solve with
+    free p1/p2 wanders the cost-flat tau~p1/p2 valley (measured 10-58
+    linearizations vs pinhole's 5-6); with p1=p2 fixed at 0 on the
+    reference's own zero-tangential camera (scheimpflug_test.cpp:17-18) it
+    converges pinhole-fast and recovers the tilt."""
+    intr_gt = _scheimpflug_camera().copy()
+    intr_gt[8:10] = 0.0  # zero-tangential camera: tilt identifiable
+    obj = synth.make_target_grid(6, 8, 0.04)
+    poses = synth.circle_views(8)
+    uv = _render(intr_gt, poses, obj)
+    obj_b = np.tile(obj[None], (8, 1, 1))
+
+    intr0 = intr_gt.copy()
+    intr0[:4] += [5.0, -4.0, 3.0, -2.0]
+    intr0[8:10] = [1e-3, -1e-3]  # seed overwritten by the fixed values
+    intr0[10:] += [0.01, -0.01]
+    res = optimize_intrinsics(
+        obj_b, uv, intr0, poses, model=SCHEIMPFLUG,
+        opts=IntrinsicsOptimOptions(
+            core=OptimOptions(compute_covariance=False),
+            fixed_distortion_indices=(3, 4),
+            fixed_distortion_values=(0.0, 0.0),
+        ),
+    )
+    assert res.core.success
+    # fixed coefficients are EXACT (frozen, not just converged)
+    np.testing.assert_array_equal(res.camera[8:10], [0.0, 0.0])
+    np.testing.assert_allclose(res.camera[:4], intr_gt[:4], atol=1e-5)
+    np.testing.assert_allclose(res.camera[10:], intr_gt[10:], atol=1e-6)
+    # convergence is pinhole-class again, not a valley crawl
+    assert res.core.iterations <= 15
