@@ -173,9 +173,12 @@ def optimize_intrinsics_device(
         mask = mask * jnp.asarray(view_valid, mask.dtype)[:, None]
 
     init_intr = jnp.asarray(init_intr)
+    fixed_slots: list[int] = []
     if opts.fixed_distortion_indices:
         # freeze the requested Brown-Conrady coefficients at their assigned
-        # values (default 0, matching semidlt/fit_distortion_full semantics).
+        # values (default 0, matching semidlt/fit_distortion_full semantics:
+        # indices address the [k1..k_nr, p1, p2] vector of length
+        # num_radial+2, NOT the fixed 5-slot packed [k1,k2,k3,p1,p2]).
         # Beyond reference parity — intrinsics.h:18-19 declares the fields
         # but intrinsics.cpp never reads them — this is ALSO the cure for the
         # tilt/tangential degeneracy: a Scheimpflug solve with free p1/p2
@@ -184,13 +187,19 @@ def optimize_intrinsics_device(
         # p1=p2=0 (the reference's own Scheimpflug camera configuration,
         # scheimpflug_test.cpp:17-18 two-coefficient distortion) makes tilt
         # identifiable and restores pinhole-class convergence.
+        nr = opts.num_radial
         for i, idx in enumerate(opts.fixed_distortion_indices):
+            if idx < 0 or idx >= nr + 2:
+                raise ValueError("Fixed distortion index out of range")
+            # map [k1..k_nr, p1, p2] index -> packed [k1,k2,k3,p1,p2] slot
+            slot = idx if idx < nr else 3 + (idx - nr)
+            fixed_slots.append(slot)
             val = (
                 opts.fixed_distortion_values[i]
                 if i < len(opts.fixed_distortion_values)
                 else 0.0
             )
-            init_intr = init_intr.at[model.idx_dist0 + idx].set(val)
+            init_intr = init_intr.at[model.idx_dist0 + slot].set(val)
     quats, trans = blocks.poses_to_quat_tran(jnp.asarray(init_poses))
     x0 = blocks.pack_intr_quats_trans(init_intr, quats, trans)
     manifold = make_manifold(pc, v)
@@ -198,8 +207,8 @@ def optimize_intrinsics_device(
     free = np.ones((pc + 7 * v,), bool)
     if not opts.optimize_skew:
         free[model.idx_skew] = False
-    for idx in opts.fixed_distortion_indices:
-        free[model.idx_dist0 + idx] = False
+    for slot in fixed_slots:
+        free[model.idx_dist0 + slot] = False
     free = jnp.asarray(free)
     if view_valid is not None:
         vv = jnp.asarray(view_valid, bool)

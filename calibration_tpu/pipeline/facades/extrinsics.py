@@ -124,6 +124,108 @@ def _run_extrinsic_estimation(views_raw, cameras, options: ExtrinsicOptions):
     return ExtrinsicPosesOut(init_c, init_r), optimization
 
 
+def _collect_stereo_views(
+    cfg: StereoPairConfig,
+    reference_detections: PlanarDetections,
+    target_detections: PlanarDetections,
+    reference_intrinsics: IntrinsicCalibrationOutputs,
+    target_intrinsics: IntrinsicCalibrationOutputs,
+):
+    """The ONE stereo host-side walk (facades/extrinsics.cpp:39-89): view
+    matching by filename, per-view status summaries, >=4-point gating.
+    Both ``calibrate`` and ``calibrate_many`` consume this, so status strings
+    and gating can never drift between the serial and fleet paths.
+
+    Returns (result-with-summaries, views_raw, cameras); cameras is None when
+    no views survived."""
+    result = StereoCalibrationRunResult(requested_views=len(cfg.views))
+    if reference_intrinsics.refine_result is None or target_intrinsics.refine_result is None:
+        raise RuntimeError("StereoCalibrationFacade: camera intrinsics are not available.")
+
+    ref_lookup = {img.file: img for img in reference_detections.images}
+    tgt_lookup = {img.file: img for img in target_detections.images}
+
+    views_raw = []
+    for sel in cfg.views:
+        summary = StereoCalibrationViewSummary(sel.reference_image, sel.target_image)
+        ref_img = ref_lookup.get(sel.reference_image)
+        tgt_img = tgt_lookup.get(sel.target_image)
+        if ref_img is None:
+            summary.status = "missing_reference_image"
+            result.view_summaries.append(summary)
+            continue
+        if tgt_img is None:
+            summary.status = "missing_target_image"
+            result.view_summaries.append(summary)
+            continue
+        ref_view = make_planar_arrays(ref_img)
+        tgt_view = make_planar_arrays(tgt_img)
+        summary.reference_points = ref_view[0].shape[0]
+        summary.target_points = tgt_view[0].shape[0]
+        if summary.reference_points < 4 or summary.target_points < 4:
+            summary.status = "insufficient_points"
+            result.view_summaries.append(summary)
+            continue
+        summary.status = "ok"
+        result.view_summaries.append(summary)
+        views_raw.append([ref_view, tgt_view])
+
+    result.used_views = len(views_raw)
+    if not views_raw:
+        return result, views_raw, None
+    cameras = np.stack(
+        [reference_intrinsics.refine_result.camera, target_intrinsics.refine_result.camera]
+    )
+    return result, views_raw, cameras
+
+
+def _fleet_calibrate_many(items, collect):
+    """Shared fleet driver for both extrinsics facades: run the host walk
+    (``collect``, returning (result, views_raw, cameras)) per item, pack the
+    survivors into ExtrinsicsJobs, solve them in one batched dispatch per
+    shape bucket, and splice the optimizations back in item order. Per-item
+    exceptions are captured in the result list (stereo_stage.cpp:141-146
+    per-pair isolation)."""
+    from .. import fleet
+
+    results: list = [None] * len(items)
+    jobs, job_slots = [], []
+    for i, item in enumerate(items):
+        try:
+            result, views_raw, cameras = collect(*item)
+            results[i] = result
+            if cameras is None:
+                continue
+            obj, uv, mask = _pack_multicam(views_raw)
+            jobs.append(fleet.ExtrinsicsJob(
+                obj=obj, uv=uv, mask=mask, cameras=cameras, opts=item[0].options
+            ))
+            job_slots.append(i)
+        except Exception as ex:  # noqa: BLE001 — per-pair/per-rig isolation
+            results[i] = ex
+
+    try:
+        solved = fleet.extrinsics_fleet(jobs) if jobs else []
+    except Exception:  # pragma: no cover — shape/compile failure fallback
+        solved = []
+        for job in jobs:
+            try:
+                solved.append(_run_extrinsic_estimation_packed(job))
+            except Exception as ex:  # noqa: BLE001
+                solved.append(ex)
+
+    for slot, item in zip(job_slots, solved):
+        if isinstance(item, Exception):
+            results[slot] = item
+            continue
+        (init_c, init_r), opt = item
+        result = results[slot]
+        result.initial_guess = ExtrinsicPosesOut(np.asarray(init_c), np.asarray(init_r))
+        result.optimization = opt
+        result.success = opt.core.success
+    return results
+
+
 class StereoCalibrationFacade:
     """facades/extrinsics.cpp:91-134."""
 
@@ -135,46 +237,13 @@ class StereoCalibrationFacade:
         reference_intrinsics: IntrinsicCalibrationOutputs,
         target_intrinsics: IntrinsicCalibrationOutputs,
     ) -> StereoCalibrationRunResult:
-        result = StereoCalibrationRunResult(requested_views=len(cfg.views))
-        if reference_intrinsics.refine_result is None or target_intrinsics.refine_result is None:
-            raise RuntimeError("StereoCalibrationFacade: camera intrinsics are not available.")
-
-        ref_lookup = {img.file: img for img in reference_detections.images}
-        tgt_lookup = {img.file: img for img in target_detections.images}
-
-        views_raw = []
-        for sel in cfg.views:
-            summary = StereoCalibrationViewSummary(sel.reference_image, sel.target_image)
-            ref_img = ref_lookup.get(sel.reference_image)
-            tgt_img = tgt_lookup.get(sel.target_image)
-            if ref_img is None:
-                summary.status = "missing_reference_image"
-                result.view_summaries.append(summary)
-                continue
-            if tgt_img is None:
-                summary.status = "missing_target_image"
-                result.view_summaries.append(summary)
-                continue
-            ref_view = make_planar_arrays(ref_img)
-            tgt_view = make_planar_arrays(tgt_img)
-            summary.reference_points = ref_view[0].shape[0]
-            summary.target_points = tgt_view[0].shape[0]
-            if summary.reference_points < 4 or summary.target_points < 4:
-                summary.status = "insufficient_points"
-                result.view_summaries.append(summary)
-                continue
-            summary.status = "ok"
-            result.view_summaries.append(summary)
-            views_raw.append([ref_view, tgt_view])
-
-        result.used_views = len(views_raw)
-        if not views_raw:
+        result, views_raw, cameras = _collect_stereo_views(
+            cfg, reference_detections, target_detections,
+            reference_intrinsics, target_intrinsics,
+        )
+        if cameras is None:
             result.success = False
             return result
-
-        cameras = np.stack(
-            [reference_intrinsics.refine_result.camera, target_intrinsics.refine_result.camera]
-        )
         result.initial_guess, result.optimization = _run_extrinsic_estimation(
             views_raw, cameras, cfg.options
         )
@@ -191,83 +260,7 @@ class StereoCalibrationFacade:
         StereoCalibrationRunResult (or the raised Exception) per item, in
         order — same results as the serial path (vmap of the same device
         core; see tests/test_facades_stages.py fleet==serial tests)."""
-        from .. import fleet
-
-        results: list = [None] * len(items)
-        jobs, job_slots = [], []
-        for i, (cfg, ref_det, tgt_det, ref_intr, tgt_intr) in enumerate(items):
-            # host-side walk identical to calibrate() up to the device call
-            try:
-                result = StereoCalibrationRunResult(requested_views=len(cfg.views))
-                if ref_intr.refine_result is None or tgt_intr.refine_result is None:
-                    raise RuntimeError(
-                        "StereoCalibrationFacade: camera intrinsics are not available."
-                    )
-                ref_lookup = {img.file: img for img in ref_det.images}
-                tgt_lookup = {img.file: img for img in tgt_det.images}
-                views_raw = []
-                for sel in cfg.views:
-                    summary = StereoCalibrationViewSummary(
-                        sel.reference_image, sel.target_image
-                    )
-                    ref_img = ref_lookup.get(sel.reference_image)
-                    tgt_img = tgt_lookup.get(sel.target_image)
-                    if ref_img is None:
-                        summary.status = "missing_reference_image"
-                        result.view_summaries.append(summary)
-                        continue
-                    if tgt_img is None:
-                        summary.status = "missing_target_image"
-                        result.view_summaries.append(summary)
-                        continue
-                    ref_view = make_planar_arrays(ref_img)
-                    tgt_view = make_planar_arrays(tgt_img)
-                    summary.reference_points = ref_view[0].shape[0]
-                    summary.target_points = tgt_view[0].shape[0]
-                    if summary.reference_points < 4 or summary.target_points < 4:
-                        summary.status = "insufficient_points"
-                        result.view_summaries.append(summary)
-                        continue
-                    summary.status = "ok"
-                    result.view_summaries.append(summary)
-                    views_raw.append([ref_view, tgt_view])
-                result.used_views = len(views_raw)
-                results[i] = result
-                if not views_raw:
-                    continue
-                obj, uv, mask = _pack_multicam(views_raw)
-                cameras = np.stack(
-                    [ref_intr.refine_result.camera, tgt_intr.refine_result.camera]
-                )
-                jobs.append(fleet.ExtrinsicsJob(
-                    obj=obj, uv=uv, mask=mask, cameras=cameras, opts=cfg.options
-                ))
-                job_slots.append(i)
-            except Exception as ex:  # noqa: BLE001 — per-pair parity (stereo_stage.cpp:141-146)
-                results[i] = ex
-
-        try:
-            solved = fleet.extrinsics_fleet(jobs) if jobs else []
-        except Exception:  # pragma: no cover — shape/compile failure fallback
-            solved = []
-            for job in jobs:
-                try:
-                    solved.append(_run_extrinsic_estimation_packed(job))
-                except Exception as ex:  # noqa: BLE001
-                    solved.append(ex)
-
-        for slot, item in zip(job_slots, solved):
-            if isinstance(item, Exception):
-                results[slot] = item
-                continue
-            (init_c, init_r), opt = item
-            result = results[slot]
-            result.initial_guess = ExtrinsicPosesOut(
-                np.asarray(init_c), np.asarray(init_r)
-            )
-            result.optimization = opt
-            result.success = opt.core.success
-        return results
+        return _fleet_calibrate_many(items, _collect_stereo_views)
 
 
 def _run_extrinsic_estimation_packed(job):
@@ -307,6 +300,58 @@ class MultiCameraCalibrationRunResult:
     optimization: Optional[ExtrinsicOptimizationResult] = None
 
 
+def _collect_multicam_views(
+    cfg: MultiCameraRigConfig,
+    detections_by_sensor: Dict[str, PlanarDetections],
+    intrinsics_by_sensor: Dict[str, IntrinsicCalibrationOutputs],
+):
+    """The ONE multicam host-side walk (facades/extrinsics.cpp:137-175):
+    all-sensors-present view matching, >=4-point gating. Shared by
+    ``calibrate`` and ``calibrate_many`` (see _collect_stereo_views).
+
+    Returns (result, views_raw, cameras); cameras is None when no views
+    survived."""
+    result = MultiCameraCalibrationRunResult(
+        requested_views=len(cfg.views), sensors=list(cfg.sensors)
+    )
+    for sid in cfg.sensors:
+        intr = intrinsics_by_sensor.get(sid)
+        if intr is None or intr.refine_result is None:
+            raise RuntimeError(
+                f"MultiCameraCalibrationFacade: intrinsics not available for sensor: {sid}"
+            )
+
+    lookup = {
+        sid: {img.file: img for img in det.images}
+        for sid, det in detections_by_sensor.items()
+    }
+    views_raw = []
+    for sel in cfg.views:
+        multi = []
+        ok = True
+        for sid in cfg.sensors:
+            fname = sel.images.get(sid)
+            img = lookup.get(sid, {}).get(fname) if fname else None
+            if img is None:
+                ok = False
+                break
+            view = make_planar_arrays(img)
+            if view[0].shape[0] < 4:
+                ok = False
+                break
+            multi.append(view)
+        if ok:
+            views_raw.append(multi)
+
+    result.used_views = len(views_raw)
+    if not views_raw:
+        return result, views_raw, None
+    cameras = np.stack(
+        [intrinsics_by_sensor[sid].refine_result.camera for sid in cfg.sensors]
+    )
+    return result, views_raw, cameras
+
+
 class MultiCameraCalibrationFacade:
     """facades/extrinsics.cpp:137-229."""
 
@@ -316,46 +361,12 @@ class MultiCameraCalibrationFacade:
         detections_by_sensor: Dict[str, PlanarDetections],
         intrinsics_by_sensor: Dict[str, IntrinsicCalibrationOutputs],
     ) -> MultiCameraCalibrationRunResult:
-        result = MultiCameraCalibrationRunResult(
-            requested_views=len(cfg.views), sensors=list(cfg.sensors)
+        result, views_raw, cameras = _collect_multicam_views(
+            cfg, detections_by_sensor, intrinsics_by_sensor
         )
-        for sid in cfg.sensors:
-            intr = intrinsics_by_sensor.get(sid)
-            if intr is None or intr.refine_result is None:
-                raise RuntimeError(
-                    f"MultiCameraCalibrationFacade: intrinsics not available for sensor: {sid}"
-                )
-
-        lookup = {
-            sid: {img.file: img for img in det.images}
-            for sid, det in detections_by_sensor.items()
-        }
-        views_raw = []
-        for sel in cfg.views:
-            multi = []
-            ok = True
-            for sid in cfg.sensors:
-                fname = sel.images.get(sid)
-                img = lookup.get(sid, {}).get(fname) if fname else None
-                if img is None:
-                    ok = False
-                    break
-                view = make_planar_arrays(img)
-                if view[0].shape[0] < 4:
-                    ok = False
-                    break
-                multi.append(view)
-            if ok:
-                views_raw.append(multi)
-
-        result.used_views = len(views_raw)
-        if not views_raw:
+        if cameras is None:
             result.success = False
             return result
-
-        cameras = np.stack(
-            [intrinsics_by_sensor[sid].refine_result.camera for sid in cfg.sensors]
-        )
         result.initial_guess, result.optimization = _run_extrinsic_estimation(
             views_raw, cameras, cfg.options
         )
@@ -372,77 +383,4 @@ class MultiCameraCalibrationFacade:
         (cfg, detections_by_sensor, intrinsics_by_sensor). Returns one
         MultiCameraCalibrationRunResult (or the raised Exception) per item,
         in order."""
-        from .. import fleet
-
-        results: list = [None] * len(items)
-        jobs, job_slots = [], []
-        for i, (cfg, detections_by_sensor, intrinsics_by_sensor) in enumerate(items):
-            try:
-                result = MultiCameraCalibrationRunResult(
-                    requested_views=len(cfg.views), sensors=list(cfg.sensors)
-                )
-                for sid in cfg.sensors:
-                    intr = intrinsics_by_sensor.get(sid)
-                    if intr is None or intr.refine_result is None:
-                        raise RuntimeError(
-                            "MultiCameraCalibrationFacade: intrinsics not available "
-                            f"for sensor: {sid}"
-                        )
-                lookup = {
-                    sid: {img.file: img for img in det.images}
-                    for sid, det in detections_by_sensor.items()
-                }
-                views_raw = []
-                for sel in cfg.views:
-                    multi = []
-                    ok = True
-                    for sid in cfg.sensors:
-                        fname = sel.images.get(sid)
-                        img = lookup.get(sid, {}).get(fname) if fname else None
-                        if img is None:
-                            ok = False
-                            break
-                        view = make_planar_arrays(img)
-                        if view[0].shape[0] < 4:
-                            ok = False
-                            break
-                        multi.append(view)
-                    if ok:
-                        views_raw.append(multi)
-                result.used_views = len(views_raw)
-                results[i] = result
-                if not views_raw:
-                    continue
-                obj, uv, mask = _pack_multicam(views_raw)
-                cameras = np.stack(
-                    [intrinsics_by_sensor[sid].refine_result.camera for sid in cfg.sensors]
-                )
-                jobs.append(fleet.ExtrinsicsJob(
-                    obj=obj, uv=uv, mask=mask, cameras=cameras, opts=cfg.options
-                ))
-                job_slots.append(i)
-            except Exception as ex:  # noqa: BLE001 — per-rig isolation
-                results[i] = ex
-
-        try:
-            solved = fleet.extrinsics_fleet(jobs) if jobs else []
-        except Exception:  # pragma: no cover — shape/compile failure fallback
-            solved = []
-            for job in jobs:
-                try:
-                    solved.append(_run_extrinsic_estimation_packed(job))
-                except Exception as ex:  # noqa: BLE001
-                    solved.append(ex)
-
-        for slot, item in zip(job_slots, solved):
-            if isinstance(item, Exception):
-                results[slot] = item
-                continue
-            (init_c, init_r), opt = item
-            result = results[slot]
-            result.initial_guess = ExtrinsicPosesOut(
-                np.asarray(init_c), np.asarray(init_r)
-            )
-            result.optimization = opt
-            result.success = opt.core.success
-        return results
+        return _fleet_calibrate_many(items, _collect_multicam_views)

@@ -37,11 +37,13 @@ class RansacConfig:
     confidence: float = 0.99
     seed: int = 1234567
     refit_on_inliers: bool = True
+    round_size: int = 128
 
     def to_options(self) -> ransac_mod.RansacOptions:
         return ransac_mod.RansacOptions(
             max_iters=self.max_iters, thresh=self.thresh, min_inliers=self.min_inliers,
             confidence=self.confidence, seed=self.seed, refit_on_inliers=self.refit_on_inliers,
+            round_size=self.round_size,
         )
 
 
@@ -214,6 +216,47 @@ def _ransac_prefilter_jit():
     return run
 
 
+def _fill_linear_outputs(out, p, kmtx, k_ok, h_ok, homographies, view_rms, pose_ok):
+    """Linear-stage diagnostics shared by the serial and fleet paths
+    (warning counts + per-view homography payload,
+    estimation/linear/intrinsics.h:26-75). Returns whether the linear K was
+    valid; on False the caller reports the reference's failure message."""
+    out.pose_warnings = int(np.sum(~np.asarray(pose_ok)[p.view_valid]))
+    out.invalid_k_warnings = 0 if k_ok else 1
+    if not k_ok:
+        return False
+    h_ok = np.asarray(h_ok)
+    out.linear_kmtx = np.asarray(kmtx)
+    out.linear_view_indices = [int(v) for v in np.where(h_ok)[0]]
+    out.view_homographies = np.asarray(homographies)[: p.v_real]
+    out.view_h_rms = np.asarray(view_rms)[: p.v_real]
+    out.view_h_ok = [bool(b) for b in h_ok[: p.v_real]]
+    out.view_inlier_masks = np.asarray(p.mask, bool)[: p.v_real]
+    out.view_inlier_counts = [int(c) for c in out.view_inlier_masks.sum(axis=-1)]
+    return True
+
+
+def _linear_fallback_camera(kmtx, zero_skew: bool, param_count: int) -> np.ndarray:
+    """Refine-failure fallback: the linear K with zero distortion
+    (facades/intrinsics.cpp:132-136), skew pinned when nobody asked for it."""
+    kmtx_init = np.asarray(kmtx, np.float64).copy()
+    if zero_skew:
+        kmtx_init[4] = 0.0
+    return np.concatenate([kmtx_init, np.zeros(param_count - 5)])
+
+
+def _finalize_outputs(out, p, refine):
+    out.refine_result = refine
+    out.active_views = p.active
+    out.used_views = len(p.active)
+    out.total_points_used = int(sum(a.corner_count for a in p.active))
+
+
+_REFINE_FALLBACK_MSG = (
+    "Warning: Non-linear refinement did not converge. Using linear result."
+)
+
+
 class PlanarIntrinsicCalibrationFacade:
     """facades/intrinsics.cpp:80-151."""
 
@@ -285,20 +328,11 @@ class PlanarIntrinsicCalibrationFacade:
         pose_ok = np.asarray(
             planarpose.pose_from_homography_pixel(linear.kmtx, linear.homographies)[3]
         )
-        out.pose_warnings = int(np.sum(~pose_ok[view_valid]))
-        out.invalid_k_warnings = 0 if bool(linear.ok) else 1
-        if not bool(linear.ok):
+        if not _fill_linear_outputs(
+            out, p, linear.kmtx, bool(linear.ok), linear.h_ok,
+            linear.homographies, linear.view_rms, pose_ok,
+        ):
             raise RuntimeError("Linear intrinsic estimation failed to converge.")
-
-        out.linear_kmtx = np.asarray(linear.kmtx)
-        out.linear_view_indices = [int(i) for i in np.where(np.asarray(linear.h_ok))[0]]
-        # per-view homography diagnostics (IntrinsicsEstimateResult parity,
-        # estimation/linear/intrinsics.h:26-75)
-        out.view_homographies = np.asarray(linear.homographies)[:v_real]
-        out.view_h_rms = np.asarray(linear.view_rms)[:v_real]
-        out.view_h_ok = [bool(b) for b in np.asarray(linear.h_ok)[:v_real]]
-        out.view_inlier_masks = np.asarray(p.mask, bool)[:v_real]
-        out.view_inlier_counts = [int(c) for c in out.view_inlier_masks.sum(axis=-1)]
 
         kmtx_init = linear.kmtx
         if not cfg.options.estim_options.use_skew and not cfg.options.optim_options.optimize_skew:
@@ -332,10 +366,7 @@ class PlanarIntrinsicCalibrationFacade:
             refine.c_se3_t = refine.c_se3_t[:v_real]
             refine.view_errors = refine.view_errors[:v_real]
             if not refine.core.success:
-                print(
-                    "Warning: Non-linear refinement did not converge. Using linear result.",
-                    file=sys.stderr,
-                )
+                print(_REFINE_FALLBACK_MSG, file=sys.stderr)
                 refine.camera = np.asarray(init_intr)
         else:
             from ...optim.core import OptimResult
@@ -347,10 +378,7 @@ class PlanarIntrinsicCalibrationFacade:
                 view_errors=np.zeros((0,)),
             )
 
-        out.refine_result = refine
-        out.active_views = active
-        out.used_views = len(active)
-        out.total_points_used = int(sum(a.corner_count for a in active))
+        _finalize_outputs(out, p, refine)
         return out
 
     def calibrate_many(
@@ -438,22 +466,15 @@ class PlanarIntrinsicCalibrationFacade:
             for j, i in enumerate(idxs):
                 p = prepared[i]
                 out = p.out
-                out.pose_warnings = int(np.sum(~pose_ok_b[j][p.view_valid]))
-                out.invalid_k_warnings = 0 if bool(k_ok_b[j]) else 1
-                if not bool(k_ok_b[j]):
+                if not _fill_linear_outputs(
+                    out, p, kmtx_b[j], bool(k_ok_b[j]), h_ok_b[j],
+                    np.asarray(seed.homographies)[j], np.asarray(seed.view_rms)[j],
+                    pose_ok_b[j],
+                ):
                     results[i] = RuntimeError(
                         "Linear intrinsic estimation failed to converge."
                     )
                     continue
-                out.linear_kmtx = kmtx_b[j]
-                out.linear_view_indices = [int(v) for v in np.where(h_ok_b[j])[0]]
-                out.view_homographies = np.asarray(seed.homographies)[j][: p.v_real]
-                out.view_h_rms = np.asarray(seed.view_rms)[j][: p.v_real]
-                out.view_h_ok = [bool(b) for b in h_ok_b[j][: p.v_real]]
-                out.view_inlier_masks = np.asarray(p.mask, bool)[: p.v_real]
-                out.view_inlier_counts = [
-                    int(c) for c in out.view_inlier_masks.sum(axis=-1)
-                ]
 
                 core = OptimResult(
                     success=bool(lm_out.success[j]),
@@ -485,20 +506,11 @@ class PlanarIntrinsicCalibrationFacade:
                     )
                     out.rms_check_warnings = int(np.sum(delta > 5e-3))
                 if not core.success:
-                    print(
-                        "Warning: Non-linear refinement did not converge. Using linear result.",
-                        file=sys.stderr,
+                    print(_REFINE_FALLBACK_MSG, file=sys.stderr)
+                    refine.camera = _linear_fallback_camera(
+                        kmtx_b[j], zero_skew, model.param_count
                     )
-                    kmtx_init = kmtx_b[j].copy()
-                    if zero_skew:
-                        kmtx_init[4] = 0.0
-                    refine.camera = np.concatenate(
-                        [kmtx_init, np.zeros(model.param_count - 5)]
-                    )
-                out.refine_result = refine
-                out.active_views = p.active
-                out.used_views = len(p.active)
-                out.total_points_used = int(sum(a.corner_count for a in p.active))
+                _finalize_outputs(out, p, refine)
                 results[i] = out
         return results
 

@@ -4,6 +4,7 @@ handeye-with-fixed-intrinsics recovery)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import synth
 from calibration_tpu.models import SCHEIMPFLUG, pinhole, scheimpflug
@@ -95,7 +96,9 @@ def test_fixed_distortion_indices_full_solver():
         obj_b, uv, intr0, poses, model=SCHEIMPFLUG,
         opts=IntrinsicsOptimOptions(
             core=OptimOptions(compute_covariance=False),
-            fixed_distortion_indices=(3, 4),
+            # reference [k1..k_nr, p1, p2] semantics (num_radial=2): indices
+            # 2, 3 are p1, p2 — same meaning as in semidlt/fit_distortion_full
+            fixed_distortion_indices=(2, 3),
             fixed_distortion_values=(0.0, 0.0),
         ),
     )
@@ -106,3 +109,24 @@ def test_fixed_distortion_indices_full_solver():
     np.testing.assert_allclose(res.camera[10:], intr_gt[10:], atol=1e-6)
     # convergence is pinhole-class again, not a valley crawl
     assert res.core.iterations <= 15
+
+
+@pytest.mark.parametrize("bad_idx", [-1, 4, 5])
+def test_fixed_distortion_index_out_of_range(bad_idx):
+    """The full solver validates indices against [k1..k_nr, p1, p2] just like
+    semidlt._fixed_arrays (num_radial=2 -> valid range [0, 3]); out-of-range
+    previously froze unrelated ambient slots (quat components / tilts)
+    silently."""
+    intr_gt = _scheimpflug_camera()
+    obj = synth.make_target_grid(4, 5, 0.04)
+    poses = synth.circle_views(4)
+    uv = _render(intr_gt, poses, obj)
+    obj_b = np.tile(obj[None], (4, 1, 1))
+    with pytest.raises(ValueError, match="out of range"):
+        optimize_intrinsics(
+            obj_b, uv, intr_gt, poses, model=SCHEIMPFLUG,
+            opts=IntrinsicsOptimOptions(
+                core=OptimOptions(compute_covariance=False),
+                fixed_distortion_indices=(bad_idx,),
+            ),
+        )
