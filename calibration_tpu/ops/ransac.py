@@ -1,12 +1,16 @@
 """Batched RANSAC (reference: include/calib/estimation/common/ransac.h).
 
 TPU-native redesign: instead of a sequential, adaptively-early-exiting
-hypothesis loop (ransac.h:143-191), sample ``max_iters`` minimal sets at
-once, fit them with one batched solve, score all residuals on-device, and
-select the best by (inlier count, then lower inlier RMS) — the same
-best-model rule as the reference (ransac.h:113-117). The adaptive stopping
-criterion is a CPU latency optimization with no effect on the selected
-model's quality; a fixed hypothesis budget is strictly at least as thorough.
+hypothesis loop (ransac.h:143-191), sample minimal sets in ROUNDS of
+``round_size`` hypotheses — each round is one batched fit + one batched
+scoring pass — and select the best by (inlier count, then lower inlier RMS),
+the same best-model rule as the reference (ransac.h:113-117). After each
+round the reference's adaptive iteration bound (``calculate_iterations``,
+ransac.h:64-78) is evaluated from the best inlier ratio so far, and the
+round loop exits early once the hypothesis budget exceeds it — the same
+``confidence`` semantics, amortized over device-sized batches. The (H, N)
+residual matrix is therefore capped at (round_size, N) regardless of
+``max_iters``.
 
 Sampling without replacement uses the Gumbel top-k trick over masked data,
 seeded from ``RansacOptions.seed`` for reproducibility (the counter-based
@@ -24,14 +28,30 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class RansacOptions:
-    """Defaults match ransac.h:22-29."""
+    """Defaults match ransac.h:22-29 (round_size is the batching grain of
+    the TPU redesign — hypotheses per device dispatch)."""
 
     max_iters: int = 1000
     thresh: float = 2.0
     min_inliers: int = 12
-    confidence: float = 0.99  # kept for config parity; batch mode uses fixed K
+    confidence: float = 0.99
     seed: int = 1234567
     refit_on_inliers: bool = True
+    round_size: int = 128
+
+
+def calculate_iterations(confidence, inlier_ratio, min_samples, iters_so_far, max_iters):
+    """The reference's adaptive RANSAC bound (ransac.h:64-78), jnp-traced:
+    smallest N with P(at least one all-inlier minimal sample in N draws)
+    >= confidence, clamped to [iters_so_far, max_iters]; degenerate inputs
+    (confidence<=0, ratio<=0, denom>=0) fall back to max_iters."""
+    inlier_ratio = jnp.asarray(inlier_ratio, jnp.float64)
+    denom = jnp.log(jnp.maximum(1e-12, 1.0 - inlier_ratio**min_samples))
+    bad = (confidence <= 0.0) | (inlier_ratio <= 0.0) | (denom >= 0.0)
+    # log(1 - p) / denom, both negative for sane inputs
+    niter = jnp.ceil(jnp.log(jnp.maximum(1e-300, 1.0 - confidence)) / denom)
+    niter = jnp.where(bad, max_iters, niter)
+    return jnp.clip(niter, iters_so_far, max_iters).astype(jnp.int32)
 
 
 class RansacResult(NamedTuple):
@@ -40,7 +60,9 @@ class RansacResult(NamedTuple):
     inlier_mask: jnp.ndarray  # (N,)
     inlier_count: jnp.ndarray
     inlier_rms: jnp.ndarray
-    best_hypothesis: jnp.ndarray
+    # hypotheses actually evaluated (RansacResult::iters, ransac.h:37 —
+    # a multiple of round_size under the batched adaptive loop)
+    iters: jnp.ndarray
 
 
 def _sample_minimal_sets(key, n, k_min, num_hypotheses, mask):
@@ -84,43 +106,90 @@ def ransac(
     if rng_key is None:
         rng_key = jax.random.PRNGKey(options.seed)
 
-    num_h = options.max_iters
-    idx = _sample_minimal_sets(rng_key, n, k_min_samples, num_h, mask)  # (H, k)
-    minimal = jax.tree_util.tree_map(lambda a: a[idx], data)  # (H, k, ...)
+    round_size = min(options.round_size, options.max_iters)
+    num_rounds = -(-options.max_iters // round_size)  # ceil
 
-    models, fit_ok = jax.vmap(fit_fn)(minimal)
-    if degenerate_fn is not None:
-        degen = jax.vmap(degenerate_fn)(minimal)
-        fit_ok = fit_ok & ~degen
-    # a hypothesis drawing any invalid datum is void (can happen only when
-    # fewer than k_min valid data exist)
-    fit_ok = fit_ok & jnp.all(mask[idx], axis=-1)
+    def run_round(key):
+        """One batched round: sample + fit + score ``round_size`` hypotheses,
+        return the round-best (score, model, inliers, rms, count)."""
+        idx = _sample_minimal_sets(key, n, k_min_samples, round_size, mask)
+        minimal = jax.tree_util.tree_map(lambda a: a[idx], data)  # (K, k, ...)
 
-    res = jax.vmap(lambda m: residual_fn(m, data))(models)  # (H, N)
-    inl = (res <= options.thresh) & mask[None, :]
-    counts = jnp.sum(inl, axis=-1)
-    w = inl.astype(res.dtype)
-    rms = jnp.sqrt(jnp.sum(res * res * w, axis=-1) / jnp.maximum(counts, 1))
+        models, fit_ok = jax.vmap(fit_fn)(minimal)
+        if degenerate_fn is not None:
+            degen = jax.vmap(degenerate_fn)(minimal)
+            fit_ok = fit_ok & ~degen
+        # a hypothesis drawing any invalid datum is void (can happen only
+        # when fewer than k_min valid data exist)
+        fit_ok = fit_ok & jnp.all(mask[idx], axis=-1)
 
-    valid = fit_ok & (counts >= options.min_inliers)
-    score = jnp.where(
-        valid,
-        counts.astype(res.dtype) * 1e9 - jnp.minimum(rms, 1e8),
-        -jnp.inf,
-    )
-    best = jnp.argmax(score)
-    success = valid[best]
-    best_model = jax.tree_util.tree_map(lambda a: a[best], models)
-    best_inl = inl[best]
-    best_rms = rms[best]
-    best_count = counts[best]
+        res = jax.vmap(lambda m: residual_fn(m, data))(models)  # (K, N)
+        inl = (res <= options.thresh) & mask[None, :]
+        counts = jnp.sum(inl, axis=-1)
+        w = inl.astype(res.dtype)
+        rms = jnp.sqrt(jnp.sum(res * res * w, axis=-1) / jnp.maximum(counts, 1))
+
+        valid = fit_ok & (counts >= options.min_inliers)
+        score = jnp.where(
+            valid,
+            counts.astype(res.dtype) * 1e9 - jnp.minimum(rms, 1e8),
+            -jnp.inf,
+        )
+        b = jnp.argmax(score)
+        model_b = jax.tree_util.tree_map(lambda a: a[b], models)
+        return score[b], model_b, inl[b], rms[b], counts[b]
+
+    n_valid = jnp.sum(mask)
+
+    # round 0 always runs (max_iters >= 1) and initializes the carried best
+    score0, model0, inl0, rms0, count0 = run_round(jax.random.fold_in(rng_key, 0))
+
+    if num_rounds > 1:
+        # adaptive multi-round loop (reference loop, ransac.h:142-191): after
+        # each round, re-evaluate the confidence bound from the best inlier
+        # ratio so far and stop once the spent hypothesis budget covers it
+        def cond(state):
+            r, best_score, *_ = state
+            iters_done = r * round_size
+            count = state[5]
+            ratio = count / jnp.maximum(n_valid, 1)
+            dyn = calculate_iterations(
+                options.confidence, ratio, k_min_samples, iters_done, options.max_iters
+            )
+            return (r < num_rounds) & (iters_done < dyn)
+
+        def body(state):
+            r, best_score, best_model, best_inl, best_rms, best_count = state
+            s, m, i, q, c = run_round(jax.random.fold_in(rng_key, r))
+            better = s > best_score
+            merge = lambda a, b: jnp.where(
+                jnp.reshape(better, (1,) * jnp.ndim(a)), b, a
+            )
+            return (
+                r + 1,
+                jnp.where(better, s, best_score),
+                jax.tree_util.tree_map(merge, best_model, m),
+                jnp.where(better, i, best_inl),
+                jnp.where(better, q, best_rms),
+                jnp.where(better, c, best_count),
+            )
+
+        state = (jnp.asarray(1), score0, model0, inl0, rms0, count0)
+        rounds_done, score0, model0, inl0, rms0, count0 = jax.lax.while_loop(
+            cond, body, state
+        )
+    else:
+        rounds_done = jnp.asarray(1)
+
+    success = score0 > -jnp.inf
+    best_model, best_inl, best_rms, best_count = model0, inl0, rms0, count0
 
     if options.refit_on_inliers and refit_fn is not None:
         re_model, re_ok = refit_fn(data, best_inl)
         re_res = residual_fn(re_model, data)
         re_inl = (re_res <= options.thresh) & mask
         re_count = jnp.sum(re_inl)
-        re_w = re_inl.astype(res.dtype)
+        re_w = re_inl.astype(re_res.dtype)
         re_rms = jnp.sqrt(jnp.sum(re_res * re_res * re_w) / jnp.maximum(re_count, 1))
         use = re_ok & success
         best_model = jax.tree_util.tree_map(
@@ -131,7 +200,9 @@ def ransac(
         best_count = jnp.where(use, re_count, best_count)
 
     best_rms = jnp.where(success, best_rms, jnp.inf)
-    return RansacResult(success, best_model, best_inl, best_count, best_rms, best)
+    return RansacResult(
+        success, best_model, best_inl, best_count, best_rms, rounds_done * round_size
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -81,3 +81,73 @@ def test_ransac_masked_padding():
     )
     assert bool(res.success)
     assert not np.asarray(res.inlier_mask)[len(src):].any()
+
+
+def test_calculate_iterations_reference_math():
+    """calculate_iterations matches ransac.h:64-78 exactly: ceil(log(1-p) /
+    log(1 - w^m)), clamped to [iters_so_far, max_iters]; degenerate inputs
+    fall back to max_iters."""
+    import math
+
+    from calibration_tpu.ops.ransac import calculate_iterations
+
+    def ref(p, w, m, it, mx):
+        if p <= 0.0 or w <= 0.0:
+            return mx
+        denom = math.log(max(1e-12, 1.0 - w**m))
+        if denom >= 0.0:
+            return mx
+        niter = int(math.ceil(math.log(1.0 - p) / denom))
+        return min(max(niter, it), mx)
+
+    cases = [
+        (0.99, 0.8, 4, 1, 1000),   # textbook: ~9 iterations
+        (0.99, 0.5, 4, 1, 1000),   # ~71
+        (0.99, 0.2, 4, 1, 1000),   # ~2876 -> clamp 1000
+        (0.999, 0.9, 3, 5, 1000),
+        (0.99, 0.0, 4, 1, 1000),   # ratio 0 -> max
+        (0.0, 0.8, 4, 1, 1000),    # confidence 0 -> max
+        (0.99, 1.0, 4, 1, 1000),   # denom >= 0 -> max
+        (0.99, 0.95, 4, 500, 1000),  # clamp below iters_so_far
+    ]
+    for p, w, m, it, mx in cases:
+        got = int(calculate_iterations(p, w, m, it, mx))
+        assert got == ref(p, w, m, it, mx), (p, w, m, it, mx, got)
+
+
+def test_ransac_adaptive_early_exit():
+    """With a high inlier ratio the adaptive bound stops after one round
+    (ransac.h confidence semantics); confidence<=0 disables early exit and
+    runs the full budget. Quality is unchanged either way."""
+    h, src, dst, outlier_idx = _homography_with_outliers()
+    opts = RansacOptions(max_iters=1024, thresh=2.0, min_inliers=12, round_size=128)
+    res = ransac_homography(jnp.asarray(src), jnp.asarray(dst), opts)
+    assert bool(res.success)
+    # 60/75 inliers, k=4: required iters ~ log(.01)/log(1-.8^4) ~ 9 << 128
+    assert int(res.iters) == 128
+    assert not np.asarray(res.inlier_mask)[outlier_idx].any()
+    np.testing.assert_allclose(np.asarray(res.model), h, atol=1e-6)
+
+    full = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst),
+        RansacOptions(max_iters=1024, thresh=2.0, min_inliers=12,
+                      round_size=128, confidence=0.0),
+    )
+    assert int(full.iters) == 1024
+    np.testing.assert_allclose(np.asarray(full.model), h, atol=1e-6)
+
+
+def test_ransac_adaptive_under_vmap():
+    """The round loop is a lax.while_loop, so the adaptive path must work
+    under vmap (the facade prefilter vmaps ransac_homography over views)."""
+    import jax
+
+    h, src, dst, _ = _homography_with_outliers(seed=5)
+    src_b = jnp.stack([jnp.asarray(src)] * 3)
+    dst_b = jnp.stack([jnp.asarray(dst)] * 3)
+    opts = RansacOptions(max_iters=512, round_size=64)
+    fn = lambda s, d: ransac_homography(s, d, opts)
+    out = jax.vmap(fn)(src_b, dst_b)
+    assert np.asarray(out.success).all()
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out.model)[i], h, atol=1e-6)
