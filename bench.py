@@ -159,12 +159,18 @@ def tpu_throughput(obj, uv, repeats=3, make=None):
     return batch / dt, rms, intr_base
 
 
-def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
+def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=8, passes=6):
     """Sequential Ceres-class CPU stand-in: scipy.optimize.least_squares
     (TRF) with the hand-derived ANALYTIC Jacobian from
     benchmarks/cpu_baseline.py (verified against finite differences in
     tests/test_cpu_baseline.py). Round-1's finite-difference stand-in
-    understated the baseline ~10x; this is the honest multiplier."""
+    understated the baseline ~10x; this is the honest multiplier.
+
+    The floor is a thick sample (8 problems x 6 passes, round-3 verdict:
+    the old 4x4 sample produced a 19.4-vs-30.5/s spread between sessions);
+    returns (solves/sec from the BEST pass — the fastest the host ever went,
+    i.e. the most conservative multiplier — plus the full pass list and the
+    median, all of which land in the output JSON for auditability)."""
     try:
         from benchmarks import cpu_baseline as cb
     except Exception:
@@ -174,12 +180,12 @@ def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
     # same seed perturbation as bench_all.py::bench_intrinsics so the two
     # harnesses report comparable CPU numbers
     pert = intr_gt + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0])
-    # best of 4 passes: a single pass under transient host load (e.g. the
+    # best-of-N passes: a single pass under transient host load (e.g. the
     # remote-compile service still draining) understates the baseline and
     # overstates vs_baseline — observed 4.1/s vs 24/s for identical code,
     # and a 2.97s vs 0.39s pass pair even with best-of-2 (r3 chip session)
     times = []
-    for _ in range(4):
+    for _ in range(passes):
         t0 = time.time()
         for i in range(b):
             x0 = cb.intrinsics_x0(pert, poses0[i])
@@ -187,11 +193,16 @@ def cpu_baseline_throughput(obj, uv, poses0, intr_gt, max_problems=4):
         times.append(time.time() - t0)
     dt = min(times)
     print(
-        f"[bench] cpu baseline (analytic-jac TRF): {b} solves in {dt:.2f}s "
+        f"[bench] cpu baseline (analytic-jac TRF): {b} solves, best pass {dt:.2f}s "
         f"(passes: {', '.join(f'{t:.2f}' for t in times)})",
         file=sys.stderr,
     )
-    return b / dt
+    return {
+        "solves_per_sec": b / dt,
+        "solves_per_sec_median": b / float(np.median(times)),
+        "problems": b,
+        "passes_sec": [round(t, 4) for t in times],
+    }
 
 
 def lm_trace_diagnostic(obj, uv, poses, intr_gt):
@@ -244,20 +255,24 @@ def main():
         obj, uv, make=lambda k: make_problems(batch, seed=repeat_seed(7, k))[:2]
     )
 
-    vs_baseline = (throughput / cpu) if cpu else 1.0
+    vs_baseline = (throughput / cpu["solves_per_sec"]) if cpu else 1.0
 
     fx_err = float(np.mean(np.abs(intr[:, 0] - intr_gt[0])))
     print(f"[bench] mean |fx err|: {fx_err:.4f}px-equivalent", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "batched_planar_intrinsics_solves_per_sec",
-                "value": round(throughput, 3),
-                "unit": "solves/sec",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "batched_planar_intrinsics_solves_per_sec",
+        "value": round(throughput, 3),
+        "unit": "solves/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if cpu:
+        # auditable floor: the pass list + per-pass throughput that produced
+        # vs_baseline (round-3 verdict item 2)
+        record["cpu_solves_per_sec"] = round(cpu["solves_per_sec"], 3)
+        record["cpu_solves_per_sec_median"] = round(cpu["solves_per_sec_median"], 3)
+        record["cpu_problems"] = cpu["problems"]
+        record["cpu_passes_sec"] = cpu["passes_sec"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -111,6 +111,11 @@ def quat_to_rotmat(q):
     return r
 
 
+def quat_conj(q):
+    """Quaternion conjugate (w,x,y,z) -> (w,-x,-y,-z)."""
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
 def quat_mul(a, b):
     """Hamilton product of (w,x,y,z) quaternions."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]

@@ -37,6 +37,103 @@ def _residual(x, pairs: hel.MotionPairs):
     return r.reshape(-1)
 
 
+def _residual_quat(x, pairs: hel.MotionPairs, q_a, q_b):
+    """Algebraic rotation residual: r_rot = 2 sgn(w) vec(q_err) with
+    q_err = q_A (x) q_X (x) conj(q_B) (x) conj(q_X) — the quaternion of the
+    same error rotation R_A R_X R_B^T R_X^T the log residual measures.
+
+    |r_rot| = 2 sin(theta/2) = theta (1 - theta^2/24 + ...), so the zero set
+    and the first-order behavior at the minimum are IDENTICAL to the
+    reference's log residual (handeyeresidual.h:33-47); the objectives
+    differ only at O(theta^3) per residual (same-minimum gate:
+    tests/test_lm_solvers.py::test_handeye_quat_residual_same_minimum,
+    bench_all config-4 cost parity). The win: the whole residual is pure
+    quaternion polynomial algebra — NO log_so3/acos/atan2 per pair per LM
+    iteration (the round-3 verdict's hand-eye bottleneck: transcendental
+    f64 VPU work), and jacfwd differentiates a polynomial chain.
+
+    q_a, q_b: (P, 4) quaternions of pairs.rot_a / pairs.rot_b, precomputed
+    once outside the LM loop. Translation rows unchanged.
+    """
+    q, t = x[:4], x[4:7]
+    rot_x = se3.quat_to_rotmat(q)
+    q_err = se3.quat_mul(
+        se3.quat_mul(se3.quat_mul(q_a, q[None]), se3.quat_conj(q_b)),
+        se3.quat_conj(q)[None],
+    )  # (P, 4)
+    sgn = jnp.where(q_err[..., :1] < 0.0, -1.0, 1.0)
+    r_rot = 2.0 * sgn * q_err[..., 1:4]
+    r_tra = (
+        jnp.einsum("pij,j->pi", pairs.rot_a - jnp.eye(3, dtype=x.dtype), t)
+        - (jnp.einsum("ij,pj->pi", rot_x, pairs.tra_b) - pairs.tra_a)
+    )
+    r = jnp.concatenate([r_rot, r_tra], axis=-1) * pairs.weight[:, None]
+    return r.reshape(-1)
+
+
+def _qmat_l(q):
+    """Left-multiplication matrix: quat_mul(q, p) == _qmat_l(q) @ p."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([w, -x, -y, -z], -1),
+            jnp.stack([x, w, -z, y], -1),
+            jnp.stack([y, z, w, -x], -1),
+            jnp.stack([z, -y, x, w], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _qmat_r(q):
+    """Right-multiplication matrix: quat_mul(p, q) == _qmat_r(q) @ p."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([w, -x, -y, -z], -1),
+            jnp.stack([x, w, z, -y], -1),
+            jnp.stack([y, -z, w, x], -1),
+            jnp.stack([z, y, -x, w], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _residual_quat_jac(x, pairs: hel.MotionPairs, q_a, q_b):
+    """Analytic tangent Jacobian of ``_residual_quat``: (6P, 6), columns
+    [omega(3), dt(3)], right-multiplied quaternion retraction
+    q_X -> q_X (x) exp_quat(omega) (d exp_quat/d omega |_0 = E/2 with
+    E = [0; I3]).
+
+    With u = q_A (x) q_X:  q_err(omega) = u (x) e (x) conj(q_B) (x)
+    conj(e) (x) conj(q_X), so
+      d q_err = [L(u) R(conj(q_B) conj(q_X)) - L(u conj(q_B)) R(conj(q_X))]
+                (E/2) d omega
+    and r_rot = 2 sgn vec(q_err) gives J_rot = sgn * M[1:4, 1:4] with M the
+    bracketed matrix — pure polynomial algebra, no transcendentals.
+    Translation rows as in ``_residual_jac``. Equals jacfwd of the retracted
+    residual (tested)."""
+    q, t = x[:4], x[4:7]
+    rot_x = se3.quat_to_rotmat(q)
+    q_x_c = se3.quat_conj(q)
+    qb_c = se3.quat_conj(q_b)
+    u = se3.quat_mul(q_a, q[None])  # (P, 4)
+    u_qbc = se3.quat_mul(u, qb_c)  # (P, 4)
+    q_err = se3.quat_mul(u_qbc, q_x_c[None])
+    sgn = jnp.where(q_err[..., 0] < 0.0, -1.0, 1.0)  # (P,)
+    v1 = se3.quat_mul(qb_c, q_x_c[None])  # (P, 4)
+    m = _qmat_l(u) @ _qmat_r(v1) - _qmat_l(u_qbc) @ _qmat_r(q_x_c)
+    j_rot_w = sgn[:, None, None] * m[:, 1:4, 1:4]  # (P, 3, 3)
+    eye = jnp.eye(3, dtype=x.dtype)
+    zeros = jnp.zeros_like(j_rot_w)
+    j_tra_w = jnp.einsum("ij,pjk->pik", rot_x, se3.skew(pairs.tra_b))
+    j_tra_t = pairs.rot_a - eye
+    top = jnp.concatenate([j_rot_w, zeros], axis=-1)  # (P, 3, 6)
+    bot = jnp.concatenate([j_tra_w, j_tra_t], axis=-1)  # (P, 3, 6)
+    jac = jnp.concatenate([top, bot], axis=-2) * pairs.weight[:, None, None]
+    return jac.reshape(-1, 6)
+
+
 def _jl_inv(phi):
     """Inverse left Jacobian of SO(3) at rotation vector phi: (..., 3) ->
     (..., 3, 3). J_l^-1 = I - [phi]_x/2 + c [phi]_x^2 with
@@ -90,20 +187,42 @@ def _residual_jac(x, pairs: hel.MotionPairs):
 
 
 def optimize_handeye_device(
-    pairs: hel.MotionPairs, init_pose, options=OptimOptions(), analytic_jac: bool = True
+    pairs: hel.MotionPairs,
+    init_pose,
+    options=OptimOptions(),
+    analytic_jac: bool = True,
+    rot_residual: str = "quat",
 ):
     """Pure-jnp core. Returns (LMOutput, X (4,4), cov, cov_ok).
 
-    analytic_jac: hand-derived (6P, 6) Jacobian (identical to jacfwd,
-    avoids pushing 6 tangents through log_so3 — also shrinks the jacfwd
-    while-loop temps that cap the batched path's HBM)."""
+    rot_residual: "quat" (default) uses the algebraic quaternion-difference
+    rotation residual — transcendental-free inner loop, same minimum to
+    O(theta^3) (see ``_residual_quat``); "log" is the reference's exact
+    log-map residual (handeyeresidual.h:33-47), kept for A/B and parity
+    gates.
+
+    analytic_jac: hand-derived (6P, 6) Jacobian (identical to jacfwd;
+    for "log" it avoids pushing 6 tangents through log_so3 — also shrinks
+    the jacfwd while-loop temps that cap the batched path's HBM)."""
     q0 = se3.rotmat_to_quat(se3.rot(init_pose))
     t0 = se3.tra(init_pose)
     x0 = jnp.concatenate([q0, t0])
     p = pairs.rot_a.shape[0]
     block_ids = jnp.repeat(jnp.arange(p, dtype=jnp.int32), 6)
-    res_fn = lambda x: _residual(x, pairs)
-    jac_fn = (lambda x: _residual_jac(x, pairs)) if analytic_jac else None
+    if rot_residual == "quat":
+        # pair quaternions precomputed ONCE — the LM loop never touches a
+        # transcendental after this
+        q_a = se3.rotmat_to_quat(pairs.rot_a)
+        q_b = se3.rotmat_to_quat(pairs.rot_b)
+        res_fn = lambda x: _residual_quat(x, pairs, q_a, q_b)
+        jac_fn = (
+            (lambda x: _residual_quat_jac(x, pairs, q_a, q_b)) if analytic_jac else None
+        )
+    elif rot_residual == "log":
+        res_fn = lambda x: _residual(x, pairs)
+        jac_fn = (lambda x: _residual_jac(x, pairs)) if analytic_jac else None
+    else:
+        raise ValueError(f"unknown rot_residual '{rot_residual}' (quat|log)")
     out = lm.lm_core(
         res_fn, x0, _MANIFOLD, options=options, block_ids=block_ids, num_blocks=p,
         jac_fn=jac_fn,
@@ -139,6 +258,7 @@ def _wrap_result(out, pose, cov, cov_ok, options) -> HandeyeResult:
 def optimize_handeye(
     base_se3_gripper, camera_se3_target, init_pose,
     options: OptimOptions = OptimOptions(), analytic_jac: bool = True,
+    rot_residual: str = "quat",
 ):
     """optimize_handeye (handeye.cpp:60-78): rebuild pairs at min angle 0.5 deg,
     refine from init_pose."""
@@ -146,7 +266,8 @@ def optimize_handeye(
         jnp.asarray(base_se3_gripper), jnp.asarray(camera_se3_target), OPTIMIZE_MIN_ANGLE_DEG
     )
     out, pose, cov, cov_ok = optimize_handeye_device(
-        pairs, jnp.asarray(init_pose), options, analytic_jac=analytic_jac
+        pairs, jnp.asarray(init_pose), options, analytic_jac=analytic_jac,
+        rot_residual=rot_residual,
     )
     return _wrap_result(out, pose, cov, cov_ok, options)
 

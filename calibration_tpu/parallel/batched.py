@@ -323,12 +323,14 @@ def reprojection_rms_batch(c_se3_t, intrs, obj_xy, img_uv, mask=None):
     return _rms_from_residuals(res, mask_r).reshape(b, v)
 
 
-@functools.partial(jax.jit, static_argnames=("options", "min_angle_deg"))
-def _handeye_batch_jit(b_se3_g, c_se3_t, options, min_angle_deg):
+@functools.partial(
+    jax.jit, static_argnames=("options", "min_angle_deg", "rot_residual")
+)
+def _handeye_batch_jit(b_se3_g, c_se3_t, options, min_angle_deg, rot_residual):
     def solve(bg, ct):
         pairs = handeye_linear.build_all_pairs(bg, ct, min_angle_deg)
         init, _ = handeye_linear.estimate_handeye_dlt(bg, ct, min_angle_deg)
-        return optimize_handeye_device(pairs, init, options)
+        return optimize_handeye_device(pairs, init, options, rot_residual=rot_residual)
 
     return jax.vmap(solve)(b_se3_g, c_se3_t)
 
@@ -339,15 +341,19 @@ def handeye_batch(
     options: OptimOptions = OptimOptions(),
     min_angle_deg: float = 1.0,
     mesh=None,
+    rot_residual: str = "quat",
 ):
     """Tsai-Lenz DLT seed + AX=XB LM for a batch of rigs.
 
-    base_se3_gripper/cam_se3_target: (B, P, 4, 4).
-    """
+    base_se3_gripper/cam_se3_target: (B, P, 4, 4). rot_residual: see
+    optimize_handeye_device ("quat" = transcendental-free algebraic
+    rotation residual, "log" = reference log-map, for A/B)."""
     args, real_b = _maybe_shard(
         (jnp.asarray(base_se3_gripper), jnp.asarray(cam_se3_target)), mesh
     )
-    return _trim(_handeye_batch_jit(*args, options, min_angle_deg), real_b)
+    return _trim(
+        _handeye_batch_jit(*args, options, min_angle_deg, rot_residual), real_b
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

@@ -822,3 +822,119 @@ def test_tangent_covariance_matches_dense_gram():
     a = jw.T @ jw + np.diag(1.0 - np.asarray(tan_free))
     c_dense = np.linalg.inv(a) * np.asarray(tan_free)[:, None] * np.asarray(tan_free)[None, :]
     np.testing.assert_allclose(np.asarray(c_blk), c_dense, rtol=1e-8, atol=1e-12)
+
+
+def test_handeye_quat_jacobian_matches_jacfwd():
+    """optim/handeye.py::_residual_quat_jac must equal jacfwd of the
+    retracted algebraic residual at zero tangent (pure quaternion algebra
+    both sides)."""
+    import jax
+
+    from calibration_tpu.ops import handeye_linear as hel
+    from calibration_tpu.optim import handeye as oh
+
+    sim = synth.make_handeye_sequence(num_poses=8)
+    pairs = hel.build_all_pairs(
+        jnp.asarray(sim["b_se3_g"]), jnp.asarray(sim["c_se3_t"]), 0.5
+    )
+    q_a = se3.rotmat_to_quat(pairs.rot_a)
+    q_b = se3.rotmat_to_quat(pairs.rot_b)
+    pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
+    x = jnp.concatenate([
+        jnp.asarray(se3.rotmat_to_quat(jnp.asarray((sim["g_se3_c"] @ pert)[:3, :3]))),
+        jnp.asarray((sim["g_se3_c"] @ pert)[:3, 3]),
+    ])
+
+    def res_local(delta):
+        dq = se3.exp_quat(delta[:3])
+        qn = se3.quat_mul(x[:4], dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return oh._residual_quat(jnp.concatenate([qn, x[4:] + delta[3:]]), pairs, q_a, q_b)
+
+    jac_fwd = jax.jacfwd(res_local)(jnp.zeros(6, x.dtype))
+    jac_ana = oh._residual_quat_jac(x, pairs, q_a, q_b)
+    scale = np.maximum(1.0, np.abs(np.asarray(jac_fwd)))
+    np.testing.assert_allclose(
+        np.asarray(jac_ana) / scale, np.asarray(jac_fwd) / scale, atol=1e-11
+    )
+
+
+def test_handeye_quat_residual_norm_vs_log():
+    """|r_quat_rot| = 2 sin(theta/2) where |r_log_rot| = theta: the two
+    rotation residuals measure the same error rotation, equal to first
+    order (rel diff theta^2/24)."""
+    from calibration_tpu.ops import handeye_linear as hel
+    from calibration_tpu.optim import handeye as oh
+
+    sim = synth.make_handeye_sequence(num_poses=8)
+    pairs = hel.build_all_pairs(
+        jnp.asarray(sim["b_se3_g"]), jnp.asarray(sim["c_se3_t"]), 0.5
+    )
+    q_a = se3.rotmat_to_quat(pairs.rot_a)
+    q_b = se3.rotmat_to_quat(pairs.rot_b)
+    pert = synth.euler_pose(0.02, -0.015, 0.01, [0.0, 0.0, 0.0])
+    x = jnp.concatenate([
+        jnp.asarray(se3.rotmat_to_quat(jnp.asarray((sim["g_se3_c"] @ pert)[:3, :3]))),
+        jnp.asarray((sim["g_se3_c"] @ pert)[:3, 3]),
+    ])
+    p = pairs.rot_a.shape[0]
+    r_log = np.asarray(oh._residual(x, pairs)).reshape(p, 6)[:, :3]
+    r_quat = np.asarray(oh._residual_quat(x, pairs, q_a, q_b)).reshape(p, 6)[:, :3]
+    w = np.asarray(pairs.weight)
+    live = w > 0
+    theta = np.linalg.norm(r_log[live] / w[live, None], axis=-1)
+    nq = np.linalg.norm(r_quat[live] / w[live, None], axis=-1)
+    np.testing.assert_allclose(nq, 2.0 * np.sin(theta / 2.0), rtol=1e-9)
+    # axes identical
+    np.testing.assert_allclose(
+        r_quat[live] / nq[:, None] / w[live, None],
+        r_log[live] / theta[:, None] / w[live, None],
+        atol=1e-9,
+    )
+
+
+def test_handeye_quat_residual_same_minimum():
+    """quat and log rotation residuals land in the same minimum on NOISY
+    data (objectives differ only at O(theta^3)): solutions agree far below
+    the noise-induced error, and each solution's cost under the OTHER
+    objective matches that objective's own minimum (cross-evaluation
+    parity — the config-4 cost-parity gate pattern)."""
+    rng = np.random.default_rng(77)
+    sim = synth.make_handeye_sequence(num_poses=14)
+    # pose noise: ~0.1 deg rotation + 0.2 mm translation on the camera poses
+    ct = sim["c_se3_t"].copy()
+    for i in range(ct.shape[0]):
+        d = synth.euler_pose(*rng.normal(0, 1.5e-3, 3), rng.normal(0, 2e-4, 3))
+        ct[i] = ct[i] @ d
+    pert = synth.euler_pose(0.12, -0.18, 0.17, [0.025, -0.028, 0.045])
+    init = sim["g_se3_c"] @ pert
+    opts = OptimOptions(compute_covariance=True)
+    a = optimize_handeye(sim["b_se3_g"], ct, init, opts, rot_residual="quat")
+    b = optimize_handeye(sim["b_se3_g"], ct, init, opts, rot_residual="log")
+    assert a.core.success and b.core.success
+    # solutions agree ~O(theta^3) << the ~0.1deg noise-induced deviation
+    assert synth.rot_err_deg(a.g_se3_c, b.g_se3_c) < 1e-6
+    assert synth.trans_err(a.g_se3_c, b.g_se3_c) < 1e-8
+    # cross-evaluate: quat solution's LOG cost equals the log minimum
+    from calibration_tpu.ops import handeye_linear as hel
+    from calibration_tpu.optim import handeye as oh
+    from calibration_tpu.optim.lm import _robust_weights
+
+    pairs = hel.build_all_pairs(
+        jnp.asarray(sim["b_se3_g"]), jnp.asarray(ct), oh.OPTIMIZE_MIN_ANGLE_DEG
+    )
+    p = pairs.rot_a.shape[0]
+    block_ids = jnp.repeat(jnp.arange(p, dtype=jnp.int32), 6)
+
+    def log_cost(pose):
+        x = jnp.concatenate([
+            se3.rotmat_to_quat(jnp.asarray(pose[:3, :3])), jnp.asarray(pose[:3, 3])
+        ])
+        r = oh._residual(x, pairs)
+        _, c = _robust_weights(r, block_ids, p, opts.huber_delta)
+        return float(c)
+
+    ca, cb = log_cost(a.g_se3_c), log_cost(b.g_se3_c)
+    assert abs(ca - cb) / max(cb, 1e-300) < 1e-9, (ca, cb)
+    # covariance agrees to the same order
+    np.testing.assert_allclose(a.core.covariance, b.core.covariance, rtol=1e-4)
