@@ -210,10 +210,9 @@ def optimize_handeye_device(
     p = pairs.rot_a.shape[0]
     block_ids = jnp.repeat(jnp.arange(p, dtype=jnp.int32), 6)
     if rot_residual == "quat":
-        # pair quaternions precomputed ONCE — the LM loop never touches a
-        # transcendental after this
-        q_a = se3.rotmat_to_quat(pairs.rot_a)
-        q_b = se3.rotmat_to_quat(pairs.rot_b)
+        # pair quaternions come prebuilt from the quaternion-native pair
+        # construction — the LM loop never touches a transcendental
+        q_a, q_b = pairs.q_a, pairs.q_b
         res_fn = lambda x: _residual_quat(x, pairs, q_a, q_b)
         jac_fn = (
             (lambda x: _residual_quat_jac(x, pairs, q_a, q_b)) if analytic_jac else None
@@ -278,8 +277,13 @@ def estimate_and_optimize_handeye(
     min_angle_deg: float = 1.0,
     options: OptimOptions = OptimOptions(),
 ):
-    """DLT seed -> LM refine (handeye.cpp:80-87)."""
-    init_pose, _ = hel.estimate_handeye_dlt(
+    """DLT seed -> LM refine (handeye.cpp:80-87). Pairs are built once; the
+    LM refine reuses them reweighted at 0.5 deg (handeye.cpp:64-65)."""
+    pairs = hel.build_all_pairs(
         jnp.asarray(base_se3_gripper), jnp.asarray(camera_se3_target), min_angle_deg
     )
-    return optimize_handeye(base_se3_gripper, camera_se3_target, init_pose, options)
+    init_pose, _ = hel.estimate_handeye_dlt_pairs(pairs)
+    out, pose, cov, cov_ok = optimize_handeye_device(
+        hel.reweight(pairs, OPTIMIZE_MIN_ANGLE_DEG), init_pose, options
+    )
+    return _wrap_result(out, pose, cov, cov_ok, options)

@@ -328,8 +328,11 @@ def reprojection_rms_batch(c_se3_t, intrs, obj_xy, img_uv, mask=None):
 )
 def _handeye_batch_jit(b_se3_g, c_se3_t, options, min_angle_deg, rot_residual):
     def solve(bg, ct):
+        # ONE pair build feeds both the Tsai-Lenz seed and the LM refine
+        # (previously estimate_handeye_dlt rebuilt the identical pairs —
+        # 2x the per-pair work, and tiny-SVD work at that pre-round-4)
         pairs = handeye_linear.build_all_pairs(bg, ct, min_angle_deg)
-        init, _ = handeye_linear.estimate_handeye_dlt(bg, ct, min_angle_deg)
+        init, _ = handeye_linear.estimate_handeye_dlt_pairs(pairs)
         return optimize_handeye_device(pairs, init, options, rot_residual=rot_residual)
 
     return jax.vmap(solve)(b_se3_g, c_se3_t)

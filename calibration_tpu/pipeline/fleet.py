@@ -68,11 +68,13 @@ def planar_pose_fleet(jobs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]])
 @functools.partial(jax.jit, static_argnames=("min_angle_deg", "options"))
 def _handeye_fleet_jit(bg, ct, min_angle_deg, options):
     def solve(bg1, ct1):
-        # exactly estimate_and_optimize_handeye (optim/handeye.py:154-166):
-        # DLT seed at the rig's min angle, LM on pairs rebuilt at 0.5 deg
-        init, _ = hel.estimate_handeye_dlt(bg1, ct1, min_angle_deg)
-        pairs = hel.build_all_pairs(bg1, ct1, OPTIMIZE_MIN_ANGLE_DEG)
-        return optimize_handeye_device(pairs, init, options)
+        # exactly estimate_and_optimize_handeye (optim/handeye.py): DLT seed
+        # at the rig's min angle, LM on the SAME pairs reweighted at 0.5 deg
+        pairs = hel.build_all_pairs(bg1, ct1, min_angle_deg)
+        init, _ = hel.estimate_handeye_dlt_pairs(pairs)
+        return optimize_handeye_device(
+            hel.reweight(pairs, OPTIMIZE_MIN_ANGLE_DEG), init, options
+        )
 
     return jax.vmap(solve)(bg, ct)
 

@@ -938,3 +938,43 @@ def test_handeye_quat_residual_same_minimum():
     assert abs(ca - cb) / max(cb, 1e-300) < 1e-9, (ca, cb)
     # covariance agrees to the same order
     np.testing.assert_allclose(a.core.covariance, b.core.covariance, rtol=1e-4)
+
+
+def test_build_all_pairs_quaternion_equivalence():
+    """The quaternion-native pair construction equals the direct matrix
+    construction (A_ij = inv(a_i) a_j, B_ij = b_i inv(b_j)) on random pose
+    sequences: rotations to 1e-12, translations exactly, weights identical
+    (angle filter via |vec(q)| == sin(theta/2) comparison), modified
+    Rodrigues vector 2 vec(q) == matrix-log route."""
+    from calibration_tpu.ops import handeye_linear as hel
+
+    sim = synth.make_handeye_sequence(num_poses=9)
+    bg, ct = jnp.asarray(sim["b_se3_g"]), jnp.asarray(sim["c_se3_t"])
+    pairs = hel.build_all_pairs(bg, ct, 1.0)
+
+    ii, jj = (np.asarray(a) for a in hel.pair_indices(bg.shape[0]))
+    bg_np, ct_np = np.asarray(bg), np.asarray(ct)
+    for p in range(len(ii)):
+        a = np.linalg.inv(bg_np[ii[p]]) @ bg_np[jj[p]]
+        b = ct_np[ii[p]] @ np.linalg.inv(ct_np[jj[p]])
+        np.testing.assert_allclose(np.asarray(pairs.rot_a)[p], a[:3, :3], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pairs.rot_b)[p], b[:3, :3], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pairs.tra_a)[p], a[:3, 3], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pairs.tra_b)[p], b[:3, 3], atol=1e-12)
+        # angle filter parity with the acos route
+        ang = np.degrees(np.arccos(np.clip((np.trace(a[:3, :3]) - 1) / 2, -1, 1)))
+        ang_b = np.degrees(np.arccos(np.clip((np.trace(b[:3, :3]) - 1) / 2, -1, 1)))
+        axis_ok = True
+        if min(ang, ang_b) >= 1e-9:
+            va = np.asarray(pairs.q_a)[p, 1:4]
+            vb = np.asarray(pairs.q_b)[p, 1:4]
+            va, vb = va / np.linalg.norm(va), vb / np.linalg.norm(vb)
+            axis_ok = np.linalg.norm(np.cross(va, vb)) >= 1e-3
+        expect = (min(ang, ang_b) >= 1.0) and axis_ok
+        assert bool(np.asarray(pairs.weight)[p]) == expect, p
+    # modified Rodrigues: 2 vec(q) == matrix-log route
+    mr = np.asarray(hel._modified_rodrigues(pairs.rot_a))
+    np.testing.assert_allclose(2.0 * np.asarray(pairs.q_a)[:, 1:4], mr, atol=1e-12)
+    # reweight at 0.5 deg only relaxes (supersets) the 1.0 deg weights
+    rw = hel.reweight(pairs, 0.5)
+    assert (np.asarray(rw.weight) >= np.asarray(pairs.weight)).all()
