@@ -98,9 +98,16 @@ def tpu_throughput(obj, uv, repeats=3, make=None):
     # parallel/batched.py::ANALYTIC_JAC_MAX_BATCH); BENCH_ANALYTIC=1 forces
     # the hand-derived-Jacobian variant for A/B runs
     env = os.environ.get("BENCH_ANALYTIC", "auto")
+    from calibration_tpu.parallel import batched
     from calibration_tpu.parallel.batched import _resolve_analytic
 
     analytic = _resolve_analytic(None if env == "auto" else env != "0", obj.shape[0])
+    # BENCH_TWO_PHASE=0 for single-phase A/B runs; default is the two-phase
+    # compacted solve (batch-max linearizations at full width only up to
+    # CAP_A; the unconverged tail re-batches at quarter width — see
+    # parallel/batched.py::_intrinsics_batch_two_phase_jit)
+    two_phase = os.environ.get("BENCH_TWO_PHASE", "1") != "0"
+    b = obj.shape[0]
 
     @jax.jit
     def solve(obj, uv):
@@ -110,11 +117,22 @@ def tpu_throughput(obj, uv, repeats=3, make=None):
         intr0 = jnp.concatenate(
             [seed_kmtx, jnp.zeros(seed_kmtx.shape[:-1] + (5,), obj.dtype)], axis=-1
         )
-        fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
-            o, u, i0, p0, mask=m, opts=opts, precision=precision,
-            analytic_jac=analytic,
-        )
-        out, intr, poses, view_errors, cov, cov_ok = jax.vmap(fn)(obj, uv, mask, intr0, seed.c_se3_t)
+        if two_phase:
+            out, intr, poses, view_errors, cov, cov_ok = (
+                batched._intrinsics_batch_two_phase_jit(
+                    obj, uv, mask, intr0, seed.c_se3_t, opts,
+                    "pinhole_brown_conrady", precision, analytic,
+                    batched.TWO_PHASE_CAP_A, max(b // 4, 1),
+                )
+            )
+        else:
+            fn = lambda o, u, m, i0, p0: optimize_intrinsics_device(
+                o, u, i0, p0, mask=m, opts=opts, precision=precision,
+                analytic_jac=analytic,
+            )
+            out, intr, poses, view_errors, cov, cov_ok = jax.vmap(fn)(
+                obj, uv, mask, intr0, seed.c_se3_t
+            )
         return intr, out.cost, view_errors, cov
 
     obj_j = jnp.asarray(obj)

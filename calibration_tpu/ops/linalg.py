@@ -69,14 +69,16 @@ def svd_lstsq(a, b, rcond: float = _SVD_RCOND):
 # bench (133.5 -> 146.8 solves/s for the 10x10 alone), but unrolling the
 # 8x8 homography system at B=4096 is a 3x LOSS (76.6k vs 219.6k solves/s:
 # at that batch the column-loop kernels amortize while the n^2/2 unrolled
-# elementwise kernels thrash HBM). Override with CALIB_SPD_UNROLL_SIZES
+# elementwise kernels thrash HBM). 12 covers the Scheimpflug 12x12 Schur
+# block (B=256 generic-model bench: 38.8 vs 25.7 solves/s with the
+# column-loop kernel, benchmarks round 4). Override with CALIB_SPD_UNROLL_SIZES
 # (comma list) or CALIB_SPD_UNROLL_MAX=k (shorthand for {1..k}) for A/B.
 if "CALIB_SPD_UNROLL_MAX" in os.environ:
     _UNROLL_SIZES = frozenset(range(1, int(os.environ["CALIB_SPD_UNROLL_MAX"]) + 1))
 else:
     _UNROLL_SIZES = frozenset(
         int(s)
-        for s in os.environ.get("CALIB_SPD_UNROLL_SIZES", "1,2,3,4,5,6,10").split(",")
+        for s in os.environ.get("CALIB_SPD_UNROLL_SIZES", "1,2,3,4,5,6,10,12").split(",")
         if s.strip()
     )
 

@@ -121,6 +121,69 @@ def _skew_z0(pts):
     )
 
 
+def _free_mask(model, opts: IntrinsicsOptimOptions, fixed_slots, pc, v, view_valid):
+    """Ambient free mask: skew frozen unless optimize_skew, fixed distortion
+    slots frozen, padded views' pose blocks frozen."""
+    free = np.ones((pc + 7 * v,), bool)
+    if not opts.optimize_skew:
+        free[model.idx_skew] = False
+    for slot in fixed_slots:
+        free[model.idx_dist0 + slot] = False
+    free = jnp.asarray(free)
+    if view_valid is not None:
+        vv = jnp.asarray(view_valid, bool)
+        pose_free = jnp.concatenate([jnp.repeat(vv, 4), jnp.repeat(vv, 3)])
+        free = free & jnp.concatenate([jnp.ones((pc,), bool), pose_free])
+    return free
+
+
+def _fixed_slot_list(model, opts: IntrinsicsOptimOptions):
+    """Packed distortion slots for opts.fixed_distortion_indices (reference
+    [k1..k_nr, p1, p2] index semantics; validated)."""
+    nr = opts.num_radial
+    slots = []
+    for idx in opts.fixed_distortion_indices:
+        if idx < 0 or idx >= nr + 2:
+            raise ValueError("Fixed distortion index out of range")
+        slots.append(idx if idx < nr else 3 + (idx - nr))
+    return slots
+
+
+def intrinsics_covariance_device(
+    obj_xy,
+    img_uv,
+    intr,
+    poses,
+    mask=None,
+    model: CameraModelSpec = PINHOLE,
+    opts: IntrinsicsOptimOptions | None = None,
+    view_valid=None,
+):
+    """Ambient covariance at a GIVEN solution — the Schur block-inverse path
+    of ``optimize_intrinsics_device``, callable separately so multi-phase
+    batched solves can defer covariance to one final pass. Returns
+    (cov (pc+7V, pc+7V), cov_ok)."""
+    opts = opts or IntrinsicsOptimOptions()
+    v = obj_xy.shape[0]
+    pc = model.param_count
+    if mask is None:
+        mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+    if view_valid is not None:
+        mask = mask * jnp.asarray(view_valid, mask.dtype)[:, None]
+    manifold = make_manifold(pc, v)
+    free = _free_mask(model, opts, _fixed_slot_list(model, opts), pc, v, view_valid)
+    quats, trans = blocks.poses_to_quat_tran(jnp.asarray(poses))
+    x = blocks.pack_intr_quats_trans(jnp.asarray(intr), quats, trans)
+    tan_free = manifold.ambient_to_tangent_mask(free).astype(x.dtype)
+    c_t, _ = lm_schur.tangent_covariance(
+        lambda i, q, t, o, u, m: _view_residual(model, i, q, t, o, u, m),
+        jnp.asarray(intr), quats, trans, (jnp.asarray(obj_xy), jnp.asarray(img_uv), mask),
+        jac_view_fn=None, tan_free=tan_free, huber_delta=opts.core.huber_delta,
+    )
+    return lm.covariance_from_tangent(c_t, x, manifold)
+
+
 def _bounds_vectors(pc, v, model, opts: IntrinsicsOptimOptions, dtype):
     lower = jnp.full((pc + 7 * v,), -jnp.inf, dtype)
     lower = lower.at[model.idx_fx].set(0.0).at[model.idx_fy].set(0.0)
@@ -173,49 +236,29 @@ def optimize_intrinsics_device(
         mask = mask * jnp.asarray(view_valid, mask.dtype)[:, None]
 
     init_intr = jnp.asarray(init_intr)
-    fixed_slots: list[int] = []
-    if opts.fixed_distortion_indices:
-        # freeze the requested Brown-Conrady coefficients at their assigned
-        # values (default 0, matching semidlt/fit_distortion_full semantics:
-        # indices address the [k1..k_nr, p1, p2] vector of length
-        # num_radial+2, NOT the fixed 5-slot packed [k1,k2,k3,p1,p2]).
-        # Beyond reference parity — intrinsics.h:18-19 declares the fields
-        # but intrinsics.cpp never reads them — this is ALSO the cure for the
-        # tilt/tangential degeneracy: a Scheimpflug solve with free p1/p2
-        # wanders a cost-flat tau~p1/p2 valley for 10-58 linearizations vs
-        # pinhole's 5-6 (measured, benchmarks/exp_scheim_iters); fixing
-        # p1=p2=0 (the reference's own Scheimpflug camera configuration,
-        # scheimpflug_test.cpp:17-18 two-coefficient distortion) makes tilt
-        # identifiable and restores pinhole-class convergence.
-        nr = opts.num_radial
-        for i, idx in enumerate(opts.fixed_distortion_indices):
-            if idx < 0 or idx >= nr + 2:
-                raise ValueError("Fixed distortion index out of range")
-            # map [k1..k_nr, p1, p2] index -> packed [k1,k2,k3,p1,p2] slot
-            slot = idx if idx < nr else 3 + (idx - nr)
-            fixed_slots.append(slot)
-            val = (
-                opts.fixed_distortion_values[i]
-                if i < len(opts.fixed_distortion_values)
-                else 0.0
-            )
-            init_intr = init_intr.at[model.idx_dist0 + slot].set(val)
+    # freeze the requested Brown-Conrady coefficients at their assigned
+    # values (default 0, matching semidlt/fit_distortion_full semantics:
+    # indices address the [k1..k_nr, p1, p2] vector of length num_radial+2,
+    # NOT the fixed 5-slot packed [k1,k2,k3,p1,p2]). Beyond reference parity
+    # — intrinsics.h:18-19 declares the fields but intrinsics.cpp never
+    # reads them — this is ALSO the cure for the tilt/tangential degeneracy:
+    # a Scheimpflug solve with free p1/p2 wanders a cost-flat tau~p1/p2
+    # valley for 10-58 linearizations vs pinhole's 5-6 (measured); fixing
+    # p1=p2=0 (the reference's own Scheimpflug camera configuration,
+    # scheimpflug_test.cpp:17-18 two-coefficient distortion) makes tilt
+    # identifiable and restores pinhole-class convergence.
+    fixed_slots = _fixed_slot_list(model, opts)
+    for i, slot in enumerate(fixed_slots):
+        val = (
+            opts.fixed_distortion_values[i]
+            if i < len(opts.fixed_distortion_values)
+            else 0.0
+        )
+        init_intr = init_intr.at[model.idx_dist0 + slot].set(val)
     quats, trans = blocks.poses_to_quat_tran(jnp.asarray(init_poses))
     x0 = blocks.pack_intr_quats_trans(init_intr, quats, trans)
     manifold = make_manifold(pc, v)
-
-    free = np.ones((pc + 7 * v,), bool)
-    if not opts.optimize_skew:
-        free[model.idx_skew] = False
-    for slot in fixed_slots:
-        free[model.idx_dist0 + slot] = False
-    free = jnp.asarray(free)
-    if view_valid is not None:
-        vv = jnp.asarray(view_valid, bool)
-        pose_free = jnp.concatenate(
-            [jnp.repeat(vv, 4), jnp.repeat(vv, 3)]
-        )
-        free = free & jnp.concatenate([jnp.ones((pc,), bool), pose_free])
+    free = _free_mask(model, opts, fixed_slots, pc, v, view_valid)
 
     lower, upper = _bounds_vectors(pc, v, model, opts, x0.dtype)
     block_ids = jnp.repeat(jnp.arange(v, dtype=jnp.int32), 2 * n)

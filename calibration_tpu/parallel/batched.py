@@ -10,6 +10,7 @@ parallelism over calibration problems').
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -109,6 +110,135 @@ def _intrinsics_batch_jit(
     return jax.vmap(fn)(obj, uv, mask, init_intr, init_poses)
 
 
+def _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx=None):
+    """Merge a phase-B continuation into phase-A outputs. idx=None means
+    phase B ran full-width; otherwise out_b covers lanes ``idx``. Lanes that
+    were already converged in phase A keep their A fields untouched (their
+    re-solve is a no-op but would inflate the counters)."""
+    lm_b, intr_b, poses_b, err_b, _, _ = out_b
+    if idx is None:
+        upd = ~lm_a.success
+        a = lambda leaf: leaf
+    else:
+        upd = ~lm_a.success[idx]
+        a = lambda leaf: leaf[idx]
+
+    def pick(a_leaf, b_leaf):
+        u = upd.reshape(upd.shape + (1,) * (b_leaf.ndim - 1))
+        return jnp.where(u, b_leaf, a_leaf)
+
+    merged_lm = type(lm_a)(
+        x=pick(a(lm_a.x), lm_b.x),
+        cost=pick(a(lm_a.cost), lm_b.cost),
+        initial_cost=a(lm_a.initial_cost),
+        iterations=pick(a(lm_a.iterations), a(lm_a.iterations) + lm_b.iterations),
+        termination=pick(a(lm_a.termination), lm_b.termination),
+        success=a(lm_a.success) | lm_b.success,
+        linearizations=pick(
+            a(lm_a.linearizations), a(lm_a.linearizations) + lm_b.linearizations
+        ),
+    )
+    merged = (
+        merged_lm,
+        pick(a(intr_a), intr_b),
+        pick(a(poses_a), poses_b),
+        pick(a(err_a), err_b),
+    )
+    if idx is None:
+        return merged
+    scat = lambda full, part: full.at[idx].set(part)
+    lm_full = type(lm_a)(*(scat(af, bf) for af, bf in zip(lm_a, merged_lm)))
+    return (
+        lm_full,
+        scat(intr_a, merged[1]),
+        scat(poses_a, merged[2]),
+        scat(err_a, merged[3]),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "model_name", "precision", "analytic", "cap_a", "k"),
+)
+def _intrinsics_batch_two_phase_jit(
+    obj, uv, mask, init_intr, init_poses, opts, model_name, precision, analytic,
+    cap_a, k,
+):
+    """Two-phase compacted LM (round-4 flagship lever): the vmapped
+    while_loop costs batch-MAX linearizations at full width (measured B=256:
+    min/med/p90/max = 4/5/7/8, so ~2-3 full-width linearizations serve only
+    the slowest ~10% of lanes). Phase A runs ``cap_a`` iterations full
+    width; the unconverged lanes are compacted on-device into a ``k``-wide
+    continuation (argsort gather — no host sync); results scatter back. If
+    more than k lanes are unconverged (cap_a mis-tuned for the data), a
+    full-width continuation branch guarantees single-phase semantics.
+    Covariance (when requested) runs once at the end over the merged
+    solution via intrinsics_covariance_device."""
+    import dataclasses
+
+    from ..models.registry import get_model
+    from ..optim.intrinsics import intrinsics_covariance_device
+
+    model = get_model(model_name)
+    total_iters = opts.core.max_iterations
+    core_a = dataclasses.replace(
+        opts.core, compute_covariance=False,
+        max_iterations=min(cap_a, total_iters),
+    )
+    core_b = dataclasses.replace(
+        opts.core, compute_covariance=False,
+        max_iterations=max(total_iters - cap_a, 1),
+    )
+    opts_a = dataclasses.replace(opts, core=core_a)
+    opts_b = dataclasses.replace(opts, core=core_b)
+
+    def solve(op):
+        return jax.vmap(
+            lambda o_, u_, m_, i0, p0: optimize_intrinsics_device(
+                o_, u_, i0, p0, mask=m_, model=model, opts=op,
+                precision=precision, analytic_jac=analytic,
+            )
+        )
+
+    lm_a, intr_a, poses_a, err_a, _, _ = solve(opts_a)(
+        obj, uv, mask, init_intr, init_poses
+    )
+    n_unconv = jnp.sum(~lm_a.success)
+
+    def compacted(_):
+        idx = jnp.argsort(lm_a.success)[:k]  # unconverged lanes first
+        out_b = solve(opts_b)(obj[idx], uv[idx], mask[idx], intr_a[idx], poses_a[idx])
+        return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx)
+
+    def full_width(_):
+        out_b = solve(opts_b)(obj, uv, mask, intr_a, poses_a)
+        return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b)
+
+    lm_m, intr_m, poses_m, err_m = jax.lax.cond(
+        n_unconv <= k, compacted, full_width, None
+    )
+
+    b = obj.shape[0]
+    n_amb = model.param_count + 7 * obj.shape[1]
+    if opts.core.compute_covariance:
+        cov, cov_ok = jax.vmap(
+            lambda o_, u_, m_, i_, p_: intrinsics_covariance_device(
+                o_, u_, i_, p_, mask=m_, model=model, opts=opts
+            )
+        )(obj, uv, mask, intr_m, poses_m)
+    else:
+        cov = jnp.zeros((b, n_amb, n_amb), obj.dtype)
+        cov_ok = jnp.zeros((b,), bool)
+    return lm_m, intr_m, poses_m, err_m, cov, cov_ok
+
+
+# two-phase defaults, measured on the B=256 flagship distribution
+# (linearizations 4/5/7/8 min/med/p90/max): cap_a at ~p75 leaves ~10-25% of
+# lanes for the quarter-width continuation with a 2-4x safety margin
+TWO_PHASE_CAP_A = int(os.environ.get("CALIB_TWO_PHASE_CAP", "6"))
+TWO_PHASE_MIN_BATCH = 64
+
+
 def intrinsics_batch(
     obj_xy,
     img_uv,
@@ -118,6 +248,7 @@ def intrinsics_batch(
     mesh=None,
     precision: str = "f64",
     analytic_jac: bool | None = None,
+    two_phase: bool | None = None,
 ):
     """Full Zhang + LM pipeline for a batch of B cameras.
 
@@ -126,6 +257,10 @@ def intrinsics_batch(
     one jitted program over the whole batch.
 
     analytic_jac: None -> auto by batch size (ANALYTIC_JAC_MAX_BATCH).
+    two_phase: compact unconverged lanes after TWO_PHASE_CAP_A iterations
+    (see _intrinsics_batch_two_phase_jit); None -> auto (on for B >=
+    TWO_PHASE_MIN_BATCH single-shard runs, off when sharding over a mesh —
+    the argsort gather would shuffle lanes across devices).
     """
     opts = opts or IntrinsicsOptimOptions()
     obj_xy = jnp.asarray(obj_xy)
@@ -149,7 +284,21 @@ def intrinsics_batch(
         (obj_xy, img_uv, mask.astype(obj_xy.dtype), init_intr, seed.c_se3_t), mesh
     )
     analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
-    out = _trim(_intrinsics_batch_jit(*args, opts, model_name, precision, analytic), real_b)
+    b = obj_xy.shape[0]
+    if two_phase is None:
+        two_phase = mesh is None and b >= TWO_PHASE_MIN_BATCH
+    if two_phase:
+        out = _trim(
+            _intrinsics_batch_two_phase_jit(
+                *args, opts, model_name, precision, analytic,
+                TWO_PHASE_CAP_A, max(b // 4, 1),
+            ),
+            real_b,
+        )
+    else:
+        out = _trim(
+            _intrinsics_batch_jit(*args, opts, model_name, precision, analytic), real_b
+        )
     return seed, out
 
 

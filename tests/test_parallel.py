@@ -166,3 +166,51 @@ def test_mesh_devices_probe_rejects_untransferable_backend(monkeypatch):
     assert picked is not None
     assert all(d.platform == "cpu" for d in picked)
     assert len(picked) == 8
+
+
+def test_intrinsics_batch_two_phase_matches_single(monkeypatch):
+    """The two-phase compacted solve (phase A full width, unconverged lanes
+    re-batched at quarter width — parallel/batched.py::
+    _intrinsics_batch_two_phase_jit) must land on the same minimum as the
+    single-phase solve, with covariance. CAP is pinned low so real lanes
+    flow into the continuation, exercising the compact/merge path."""
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    poses = synth.circle_views(6)
+    rng = np.random.default_rng(3)
+    b = 8
+    obj_b = np.tile(obj[None, None], (b, 6, 1, 1))
+    uv_b = np.stack(
+        [np.asarray(synth.render_pixels(intr, poses, obj, noise=0.3, rng=rng)) for _ in range(b)]
+    )
+
+    from calibration_tpu.optim import IntrinsicsOptimOptions
+
+    opts = IntrinsicsOptimOptions(
+        core=OptimOptions(max_iterations=30, compute_covariance=True)
+    )
+    _, out1 = batched.intrinsics_batch(obj_b, uv_b, opts=opts, two_phase=False)
+    monkeypatch.setattr(batched, "TWO_PHASE_CAP_A", 2)
+    _, out2 = batched.intrinsics_batch(obj_b, uv_b, opts=opts, two_phase=True)
+
+    lm1, intr1, poses1, err1, cov1, ok1 = out1
+    lm2, intr2, poses2, err2, cov2, ok2 = out2
+    assert np.asarray(lm1.success).all() and np.asarray(lm2.success).all()
+    # same minimum: the strong invariants are cost and per-view RMS parity.
+    # Parameters agree modulo conditioning — the phase boundary resets
+    # damping, so each run stops at a slightly different point of the same
+    # eps=1e-9 basin, and the weakly identifiable k3/p1/p2 directions
+    # (near-flat curvature on a 5x7 target) carry ~1e-4-relative spread.
+    np.testing.assert_allclose(np.asarray(lm2.cost), np.asarray(lm1.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(err2), np.asarray(err1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(intr2), np.asarray(intr1), rtol=1e-3, atol=1e-6
+    )
+    # focal/principal point (well-conditioned) agree much tighter
+    np.testing.assert_allclose(
+        np.asarray(intr2)[:, :4], np.asarray(intr1)[:, :4], rtol=1e-6
+    )
+    assert np.asarray(ok2).all()
+    np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), rtol=1e-2, atol=1e-5)
+    # phase-B iterations accumulate on top of phase A for re-solved lanes
+    assert (np.asarray(lm2.iterations) >= 2).all()
