@@ -105,7 +105,7 @@ def tpu_throughput(obj, uv, repeats=3, make=None):
     # BENCH_TWO_PHASE=0 for single-phase A/B runs; default is the two-phase
     # compacted solve (batch-max linearizations at full width only up to
     # CAP_A; the unconverged tail re-batches at quarter width — see
-    # parallel/batched.py::_intrinsics_batch_two_phase_jit)
+    # parallel/batched.py::_intrinsics_batch_phased_jit)
     two_phase = os.environ.get("BENCH_TWO_PHASE", "1") != "0"
     b = obj.shape[0]
 
@@ -119,10 +119,10 @@ def tpu_throughput(obj, uv, repeats=3, make=None):
         )
         if two_phase:
             out, intr, poses, view_errors, cov, cov_ok = (
-                batched._intrinsics_batch_two_phase_jit(
+                batched._intrinsics_batch_phased_jit(
                     obj, uv, mask, intr0, seed.c_se3_t, opts,
                     "pinhole_brown_conrady", precision, analytic,
-                    batched.TWO_PHASE_CAP_A, max(b // 4, 1),
+                    batched.phase_schedule("pinhole_brown_conrady", b, opts),
                 )
             )
         else:

@@ -251,7 +251,16 @@ def bench_intrinsics_scheimpflug():
 
     def make(seed):
         obj, _, poses, intr10 = headline.make_problems(b, seed=seed)
-        intr12 = np.concatenate([np.asarray(intr10), tilt])
+        # the reference's own Scheimpflug configuration: radial-only base
+        # distortion, no tangential coefficients (scheimpflug_test.cpp:17-18
+        # builds the camera with a two-coefficient BrownConrady). Free
+        # tangential + tilt is ill-posed (tau ~ p1/p2 to first order,
+        # docs/SCHEIMPFLUG.md) — LM wanders the flat valley for 10-58
+        # linearizations; the reference would suffer identically under
+        # Ceres. Tilt recovery IS gated here since the problem is well-posed.
+        intr10 = np.asarray(intr10).copy()
+        intr10[8:10] = 0.0
+        intr12 = np.concatenate([intr10, tilt])
         obj3 = jnp.concatenate(
             [jnp.asarray(obj), jnp.zeros(obj.shape[:-1] + (1,))], -1
         )
@@ -262,7 +271,8 @@ def bench_intrinsics_scheimpflug():
 
     obj, uv, intr12_gt = make(7)
     opts = IntrinsicsOptimOptions(
-        core=OptimOptions(max_iterations=60, compute_covariance=True)
+        core=OptimOptions(max_iterations=60, compute_covariance=True),
+        fixed_distortion_indices=(2, 3),  # p1, p2 in [k1,k2,p1,p2] semantics
     )
 
     fn_s = lambda o, u: batched.intrinsics_batch(
@@ -276,11 +286,15 @@ def bench_intrinsics_scheimpflug():
     rms = float(np.sqrt(np.mean(np.asarray(view_errors) ** 2)))
 
     obj_p, uv_p, _, _ = headline.make_problems(b, seed=7)
-    fn_p = lambda o, u: batched.intrinsics_batch(o, u, opts=opts)
+    opts_p = IntrinsicsOptimOptions(
+        core=OptimOptions(max_iterations=60, compute_covariance=True)
+    )
+    fn_p = lambda o, u: batched.intrinsics_batch(o, u, opts=opts_p)
     _, dt_p = timed_batch(
         fn_p, (obj_p, uv_p),
         lambda k: headline.make_problems(b, seed=repeat_seed(29, k))[:2],
     )
+    tilt_dev = float(np.abs(intr[:, 10:] - tilt).max())
     return {
         "metric": "scheimpflug_intrinsics_solves_per_sec",
         "value": round(b / dt_s, 2),
@@ -289,16 +303,18 @@ def bench_intrinsics_scheimpflug():
         "baseline_note": "relative to the same-batch pinhole solve (generic-model overhead)",
         "pinhole_solves_per_sec": round(b / dt_p, 2),
         "mean_view_rms_px": rms,
-        "tilt_max_abs_dev_rad": float(np.abs(intr[:, 10:] - tilt).max()),
+        "tilt_max_abs_dev_rad": tilt_dev,
+        "tilt_gate_ok": bool(tilt_dev < 0.01),
         "parity_note": (
-            "gate is mean_view_rms_px ~ injected 0.2px noise (solution "
-            "quality); small tilts are NOT identifiable from noisy planar "
-            "views with free tangential distortion (tau ~ p1/p2 to first "
-            "order), so tilt_max_abs_dev_rad reports the cost-flat valley "
-            "spread, mirroring config 2's fx/k3 note. The reference makes "
-            "no noisy tilt-recovery claim either (scheimpflug_bundle_test "
-            "fixes intrinsics or hand-eye; noiseless recovery is covered "
-            "by tests/test_scheimpflug_solvers.py at 1e-6)"
+            "reference Scheimpflug configuration (radial-only base "
+            "distortion, p1=p2 fixed at 0 via fixed_distortion_indices — "
+            "scheimpflug_test.cpp:17-18): tilt IS identifiable, so "
+            "tilt_max_abs_dev_rad is gated (<0.01 rad at 0.2px noise); "
+            "mean_view_rms_px ~ injected noise is the solution-quality "
+            "gate. The free-tangential variant is ill-posed (tau ~ p1/p2 "
+            "to first order, docs/SCHEIMPFLUG.md — LM wanders the flat "
+            "valley for 10-58 linearizations vs 11-15 here) and makes no "
+            "recovery claim; config 2T gates recovery at ~5 deg tilt"
         ),
     }
 

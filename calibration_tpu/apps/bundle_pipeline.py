@@ -9,6 +9,8 @@ import json
 import sys
 from pathlib import Path
 
+from .. import native
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
         report = pipeline.execute(loader, context)
         context.artifacts["pipeline_summary"] = report_to_json(report)
 
-        Path(args.output).write_text(json.dumps(context.artifacts, indent=2) + "\n")
+        Path(args.output).write_text(native.dumps_fast(context.artifacts, indent=2) + "\n")
         print(f"Calibration pipeline completed. Artifacts written to {args.output}")
         return 0 if report.success else 1
     except Exception as ex:  # noqa: BLE001

@@ -9,6 +9,8 @@ import json
 import sys
 from pathlib import Path
 
+from .. import native
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
@@ -57,7 +59,7 @@ def main(argv=None) -> int:
         pipeline.add_stage(HandEyeCalibrationStage())
 
         report = pipeline.execute(loader, context)
-        print(json.dumps(report_to_json(report), indent=2))
+        print(native.dumps_fast(report_to_json(report), indent=2))
         return 0 if report.success else 1
     except Exception as ex:  # noqa: BLE001
         print(f"Pipeline execution failed: {ex}", file=sys.stderr)

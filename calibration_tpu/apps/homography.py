@@ -15,6 +15,8 @@ from pathlib import Path
 
 import numpy as np
 
+from .. import native
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Homography estimation and refinement example")
@@ -97,7 +99,7 @@ def main(argv=None) -> int:
             opt_json["core"]["covariance"] = refined.core.covariance.tolist()
         output["optimized"] = opt_json
 
-    text = json.dumps(output, indent=2 if args.pretty else None)
+    text = native.dumps_fast(output, indent=2 if args.pretty else None)
     if args.output:
         Path(args.output).write_text(text + "\n")
     else:

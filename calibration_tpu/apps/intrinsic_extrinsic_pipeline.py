@@ -11,6 +11,8 @@ from pathlib import Path
 
 import numpy as np
 
+from .. import native
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
@@ -116,7 +118,7 @@ def main(argv=None) -> int:
                     }
                 mc_artifacts[rig.rig_id or "rig0"] = entry
 
-        Path(args.output).write_text(json.dumps(context.artifacts, indent=2) + "\n")
+        Path(args.output).write_text(native.dumps_fast(context.artifacts, indent=2) + "\n")
         print(f"Calibration artifacts written to {args.output}")
         return 0 if (report.success and not mc_failed) else 1
     except Exception as ex:  # noqa: BLE001

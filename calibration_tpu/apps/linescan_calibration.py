@@ -11,6 +11,8 @@ from pathlib import Path
 
 import numpy as np
 
+from .. import native
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Line-scan laser plane calibration (linear)")
@@ -99,7 +101,7 @@ def main(argv=None) -> int:
             "rms_error": run.result.rms_error,
             "homography": run.result.homography.tolist(),
         }
-        Path(args.output).write_text(json.dumps(out, indent=2) + "\n")
+        Path(args.output).write_text(native.dumps_fast(out, indent=2) + "\n")
         print(f"Linescan calibration artifacts written to {args.output}")
         return 0 if run.success else 1
     except Exception as ex:  # noqa: BLE001

@@ -10,6 +10,8 @@ import json
 import sys
 from pathlib import Path
 
+from .. import native
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
@@ -94,7 +96,7 @@ def main(argv=None) -> int:
 
         report = build_planar_intrinsics_report(cfg, entries)
         final_json = {"reports": [jsonio.to_jsonable(report)], "results": results_json}
-        text = json.dumps(final_json, indent=2)
+        text = native.dumps_fast(final_json, indent=2)
         if args.output:
             Path(args.output).write_text(text + "\n")
             print(f"Saved calibration report to {args.output}")

@@ -14,10 +14,20 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 import typing
 from typing import Any, get_args, get_origin
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _class_layout(cls):
+    """(fields, resolved type hints) for a dataclass — get_type_hints
+    re-evaluates every annotation string on each call (measured 10%+ of the
+    5P pipeline's host walk), so cache per class."""
+    hints = typing.get_type_hints(cls)
+    return tuple(dataclasses.fields(cls)), hints
 
 
 def _is_optional(tp):
@@ -97,9 +107,9 @@ def from_jsonable(j: dict, cls):
     (json.h:94-141)."""
     if not dataclasses.is_dataclass(cls):
         raise TypeError(f"{cls!r} is not a dataclass")
-    hints = typing.get_type_hints(cls)
+    fields, hints = _class_layout(cls)
     kwargs = {}
-    for idx, f in enumerate(dataclasses.fields(cls)):
+    for idx, f in enumerate(fields):
         tp = hints.get(f.name, Any)
         slot_present = False
         slot = None

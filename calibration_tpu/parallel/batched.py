@@ -158,41 +158,37 @@ def _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opts", "model_name", "precision", "analytic", "cap_a", "k"),
+    static_argnames=("opts", "model_name", "precision", "analytic", "schedule"),
 )
-def _intrinsics_batch_two_phase_jit(
+def _intrinsics_batch_phased_jit(
     obj, uv, mask, init_intr, init_poses, opts, model_name, precision, analytic,
-    cap_a, k,
+    schedule,
 ):
-    """Two-phase compacted LM (round-4 flagship lever): the vmapped
-    while_loop costs batch-MAX linearizations at full width (measured B=256:
+    """Phased compacted LM (round-4 flagship lever): the vmapped while_loop
+    costs batch-MAX linearizations at full width (measured B=256 pinhole:
     min/med/p90/max = 4/5/7/8, so ~2-3 full-width linearizations serve only
-    the slowest ~10% of lanes). Phase A runs ``cap_a`` iterations full
-    width; the unconverged lanes are compacted on-device into a ``k``-wide
-    continuation (argsort gather — no host sync); results scatter back. If
-    more than k lanes are unconverged (cap_a mis-tuned for the data), a
-    full-width continuation branch guarantees single-phase semantics.
-    Covariance (when requested) runs once at the end over the merged
-    solution via intrinsics_covariance_device."""
+    the slowest ~10% of lanes; Scheimpflug spreads 10-58). ``schedule`` is a
+    static tuple of (max_iters, k) phases: the first runs full width
+    (k ignored); each later phase compacts the still-unconverged lanes
+    on-device into a ``k``-wide continuation (argsort gather — no host
+    sync) and scatters results back. If more than k lanes are unconverged
+    (cap mis-tuned for the data) that phase falls back to a full-width
+    branch, guaranteeing single-phase semantics; if zero lanes are
+    unconverged the phase is skipped entirely. Covariance (when requested)
+    runs once at the end over the merged solution via
+    intrinsics_covariance_device."""
     import dataclasses
 
     from ..models.registry import get_model
     from ..optim.intrinsics import intrinsics_covariance_device
 
     model = get_model(model_name)
-    total_iters = opts.core.max_iterations
-    core_a = dataclasses.replace(
-        opts.core, compute_covariance=False,
-        max_iterations=min(cap_a, total_iters),
-    )
-    core_b = dataclasses.replace(
-        opts.core, compute_covariance=False,
-        max_iterations=max(total_iters - cap_a, 1),
-    )
-    opts_a = dataclasses.replace(opts, core=core_a)
-    opts_b = dataclasses.replace(opts, core=core_b)
 
-    def solve(op):
+    def solve(iters):
+        core = dataclasses.replace(
+            opts.core, compute_covariance=False, max_iterations=iters
+        )
+        op = dataclasses.replace(opts, core=core)
         return jax.vmap(
             lambda o_, u_, m_, i0, p0: optimize_intrinsics_device(
                 o_, u_, i0, p0, mask=m_, model=model, opts=op,
@@ -200,23 +196,36 @@ def _intrinsics_batch_two_phase_jit(
             )
         )
 
-    lm_a, intr_a, poses_a, err_a, _, _ = solve(opts_a)(
+    lm_m, intr_m, poses_m, err_m, _, _ = solve(schedule[0][0])(
         obj, uv, mask, init_intr, init_poses
     )
-    n_unconv = jnp.sum(~lm_a.success)
 
-    def compacted(_):
-        idx = jnp.argsort(lm_a.success)[:k]  # unconverged lanes first
-        out_b = solve(opts_b)(obj[idx], uv[idx], mask[idx], intr_a[idx], poses_a[idx])
-        return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx)
+    for iters, k in schedule[1:]:
+        lm_a, intr_a, poses_a, err_a = lm_m, intr_m, poses_m, err_m
+        n_unconv = jnp.sum(~lm_a.success)
 
-    def full_width(_):
-        out_b = solve(opts_b)(obj, uv, mask, intr_a, poses_a)
-        return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b)
+        def compacted(_, iters=iters, k=k, lm_a=lm_a, intr_a=intr_a,
+                      poses_a=poses_a, err_a=err_a):
+            idx = jnp.argsort(lm_a.success)[:k]  # unconverged lanes first
+            out_b = solve(iters)(
+                obj[idx], uv[idx], mask[idx], intr_a[idx], poses_a[idx]
+            )
+            return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx)
 
-    lm_m, intr_m, poses_m, err_m = jax.lax.cond(
-        n_unconv <= k, compacted, full_width, None
-    )
+        def full_width(_, iters=iters, lm_a=lm_a, intr_a=intr_a,
+                       poses_a=poses_a, err_a=err_a):
+            out_b = solve(iters)(obj, uv, mask, intr_a, poses_a)
+            return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b)
+
+        def run_phase(_, k=k):
+            return jax.lax.cond(n_unconv <= k, compacted, full_width, None)
+
+        lm_m, intr_m, poses_m, err_m = jax.lax.cond(
+            n_unconv == 0,
+            lambda _: (lm_a, intr_a, poses_a, err_a),
+            run_phase,
+            None,
+        )
 
     b = obj.shape[0]
     n_amb = model.param_count + 7 * obj.shape[1]
@@ -232,11 +241,32 @@ def _intrinsics_batch_two_phase_jit(
     return lm_m, intr_m, poses_m, err_m, cov, cov_ok
 
 
-# two-phase defaults, measured on the B=256 flagship distribution
-# (linearizations 4/5/7/8 min/med/p90/max): cap_a at ~p75 leaves ~10-25% of
-# lanes for the quarter-width continuation with a 2-4x safety margin
+# phase-schedule defaults, measured per model on the B=256 bench
+# distributions (benchmarks/exp_scheim_iters): pinhole linearizations
+# min/med/p90/max = 4/5/7/8 -> cap at ~p75 leaves ~10-25% of lanes for a
+# quarter-width continuation with 2-4x safety margin; Scheimpflug with free
+# tangential coefficients wanders the tau~p1/p2 valley for 10-58
+# linearizations (median ~21) -> cap 30 strands only the far tail; with
+# p1/p2 fixed (the reference's own Scheimpflug configuration,
+# scheimpflug_test.cpp:17-18) the spread is 11-15 -> cap 12, half-width
+# continuation.
 TWO_PHASE_CAP_A = int(os.environ.get("CALIB_TWO_PHASE_CAP", "6"))
 TWO_PHASE_MIN_BATCH = 64
+
+
+def phase_schedule(model_name: str, b: int, opts) -> tuple:
+    """Static (max_iters, k) phase schedule for ``model_name`` at batch
+    ``b`` under ``opts`` (total iteration budget preserved)."""
+    total = opts.core.max_iterations
+    if model_name.startswith("scheimpflug"):
+        if opts.fixed_distortion_indices:
+            cap, k = 12, max(b // 2, 1)
+        else:
+            cap, k = 30, max(b // 4, 1)
+    else:
+        cap, k = TWO_PHASE_CAP_A, max(b // 4, 1)
+    cap = min(cap, total)
+    return ((cap, None), (max(total - cap, 1), k))
 
 
 def intrinsics_batch(
@@ -257,10 +287,10 @@ def intrinsics_batch(
     one jitted program over the whole batch.
 
     analytic_jac: None -> auto by batch size (ANALYTIC_JAC_MAX_BATCH).
-    two_phase: compact unconverged lanes after TWO_PHASE_CAP_A iterations
-    (see _intrinsics_batch_two_phase_jit); None -> auto (on for B >=
-    TWO_PHASE_MIN_BATCH single-shard runs, off when sharding over a mesh —
-    the argsort gather would shuffle lanes across devices).
+    two_phase: compact unconverged lanes after a per-model iteration cap
+    (see _intrinsics_batch_phased_jit / phase_schedule); None -> auto (on
+    for B >= TWO_PHASE_MIN_BATCH single-shard runs, off when sharding over
+    a mesh — the argsort gather would shuffle lanes across devices).
     """
     opts = opts or IntrinsicsOptimOptions()
     obj_xy = jnp.asarray(obj_xy)
@@ -289,9 +319,9 @@ def intrinsics_batch(
         two_phase = mesh is None and b >= TWO_PHASE_MIN_BATCH
     if two_phase:
         out = _trim(
-            _intrinsics_batch_two_phase_jit(
+            _intrinsics_batch_phased_jit(
                 *args, opts, model_name, precision, analytic,
-                TWO_PHASE_CAP_A, max(b // 4, 1),
+                phase_schedule(model_name, b, opts),
             ),
             real_b,
         )

@@ -43,6 +43,7 @@ def build_camera_report(
     cam_cfg: CameraConfig,
     detections: PlanarDetections,
     outputs: IntrinsicCalibrationOutputs,
+    include_covariance: bool = False,
 ) -> Dict[str, Any]:
     refined = outputs.refine_result
     counts = [v.corner_count for v in outputs.active_views]
@@ -128,7 +129,11 @@ def build_camera_report(
             "report": refined.core.report,
         },
     }
-    if refined.core.covariance is not None:
+    if include_covariance and refined.core.covariance is not None:
+        # NOT serialized by default: the reference's CameraReport carries no
+        # covariance (reports/intrinsics.h:40-46) and a 94x94 f64 matrix per
+        # camera was 95% of the artifact JSON (5P bench profile, round 4).
+        # The matrix stays available in-memory on refine_result.core.
         report["covariance"] = refined.core.covariance.tolist()
     return report
 

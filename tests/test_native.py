@@ -128,3 +128,52 @@ def test_loader_fast_path_equivalence(tmp_path):
             np.testing.assert_array_equal(x, y)
     # raw payload retention (reference parity: dataset.h:48)
     assert str(p) in ds.raw_json and "images" in ds.raw_json[str(p)]
+
+
+def test_fastjson_matches_stdlib_exactly():
+    """native.dumps_fast must be byte-identical to stdlib json.dumps
+    (ensure_ascii default) for the artifact type surface, across compact and
+    indent=2 modes, including float shortest-repr, unicode escaping,
+    surrogate pairs, control chars, big ints, NaN/Infinity, and empty
+    containers."""
+    import json
+
+    from calibration_tpu import native
+
+    tricky = {
+        "floats": [0.1, 1e-05, -1.5e300, 1.0, 123456.0, 5e-324, 1e16, 1e17,
+                   float("nan"), float("inf"), -float("inf"), -0.0],
+        "ints": [0, -1, 3**40, -(2**70)],
+        "uni": "héllo\t\"w\\orld\"\n\x01 \U0001f600 ☃",
+        "empty": {}, "elist": [], "null": None, "flags": [True, False],
+        "nested": [{"k": [None, {"deep": (1, 2.5)}]}],
+    }
+    for indent in (None, 2, 4):
+        a = json.dumps(tricky, indent=indent)
+        b = native.dumps_fast(tricky, indent=indent)
+        assert a == b
+
+    # numpy scalars serialize by value; ndarrays fall back to stdlib's
+    # TypeError semantics (both raise)
+    assert native.dumps_fast({"i": np.int64(7), "f": np.float32(1.5),
+                              "b": np.bool_(True)}) == '{"i": 7, "f": 1.5, "b": true}'
+    with pytest.raises(TypeError):
+        json.dumps({"a": np.zeros(3)})
+    with pytest.raises(TypeError):
+        native._fastjson().dumps({"a": np.zeros(3)})
+
+
+def test_fastjson_float_roundtrip_exhaustive():
+    """Every serialized double must round-trip to the identical bits."""
+    import json
+    import struct
+
+    from calibration_tpu import native
+
+    rng = np.random.default_rng(11)
+    vals = list(rng.normal(0, 1e3, 200)) + list(rng.normal(0, 1e-200, 50))
+    vals += [float(np.finfo(np.float64).max), float(np.finfo(np.float64).tiny)]
+    out = native.dumps_fast(vals)
+    back = json.loads(out)
+    for a, b in zip(vals, back):
+        assert struct.pack("<d", float(a)) == struct.pack("<d", b)

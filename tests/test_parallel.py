@@ -171,7 +171,7 @@ def test_mesh_devices_probe_rejects_untransferable_backend(monkeypatch):
 def test_intrinsics_batch_two_phase_matches_single(monkeypatch):
     """The two-phase compacted solve (phase A full width, unconverged lanes
     re-batched at quarter width — parallel/batched.py::
-    _intrinsics_batch_two_phase_jit) must land on the same minimum as the
+    _intrinsics_batch_phased_jit) must land on the same minimum as the
     single-phase solve, with covariance. CAP is pinned low so real lanes
     flow into the continuation, exercising the compact/merge path."""
     intr = synth.default_camera()
