@@ -215,11 +215,18 @@ def optimize_bundle_device(
         res_fn, x0, manifold, options=opts.core, free_mask=free,
         block_ids=block_ids, num_blocks=o_cnt, lower=lower, jac_fn=jac_fn,
     )
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, manifold, free_mask=free,
-        block_ids=block_ids, num_blocks=o_cnt, huber_delta=opts.core.huber_delta,
-        jac_fn=jac_fn,
-    )
+    if opts.core.compute_covariance:
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, manifold, free_mask=free,
+            block_ids=block_ids, num_blocks=o_cnt, huber_delta=opts.core.huber_delta,
+            jac_fn=jac_fn,
+        )
+    else:
+        # callers that disable covariance shouldn't pay the extra full-width
+        # linearization + ambient solve (same gating as extrinsics.py:252)
+        n_amb = manifold.ambient_dim
+        cov = jnp.zeros((n_amb, n_amb), x0.dtype)
+        cov_ok = jnp.asarray(False)
 
     intr, gqf, gtf, bqf, btf = unpack(out.x, pc, c)
     g_se3_c = blocks.quat_tran_to_poses(gqf, gtf)

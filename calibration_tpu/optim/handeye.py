@@ -226,11 +226,17 @@ def optimize_handeye_device(
         res_fn, x0, _MANIFOLD, options=options, block_ids=block_ids, num_blocks=p,
         jac_fn=jac_fn,
     )
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, _MANIFOLD,
-        block_ids=block_ids, num_blocks=p, huber_delta=options.huber_delta,
-        jac_fn=jac_fn,
-    )
+    if options.compute_covariance:
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, _MANIFOLD,
+            block_ids=block_ids, num_blocks=p, huber_delta=options.huber_delta,
+            jac_fn=jac_fn,
+        )
+    else:
+        # callers that disable covariance shouldn't pay the extra
+        # linearization + 7x7 solve (same gating as extrinsics/bundle)
+        cov = jnp.zeros((7, 7), x0.dtype)
+        cov_ok = jnp.asarray(False)
     pose = se3.make_se3(se3.quat_to_rotmat(out.x[:4]), out.x[4:7])
     return out, pose, cov, cov_ok
 

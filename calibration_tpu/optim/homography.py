@@ -50,11 +50,16 @@ def optimize_homography_device(init_h, obj_xy, img_uv, mask=None, options=OptimO
         res_fn, x0, _MANIFOLD, options=options, block_ids=block_ids, num_blocks=n
     )
     # m counts valid rows only (masked rows are zeroed, not observations)
-    m = 2.0 * jnp.maximum(jnp.sum(mask), 1.0)
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m,
-        block_ids=block_ids, num_blocks=n, huber_delta=options.huber_delta,
-    )
+    if options.compute_covariance:
+        m = 2.0 * jnp.maximum(jnp.sum(mask), 1.0)
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m,
+            block_ids=block_ids, num_blocks=n, huber_delta=options.huber_delta,
+        )
+    else:
+        # skip the extra linearization + 8x8 solve when covariance is off
+        cov = jnp.zeros((8, 8), x0.dtype)
+        cov_ok = jnp.asarray(False)
     return out, params_to_h(out.x), cov, cov_ok
 
 

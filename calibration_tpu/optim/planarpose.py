@@ -60,10 +60,15 @@ def optimize_planar_pose_device(
     # under-report RMS on padded views — ceresutils.h:117-123 semantics).
     m = 2.0 * jnp.maximum(jnp.sum(jnp.asarray(mask, res.dtype)), 1.0)
     rms = jnp.sqrt(jnp.sum(res * res) / m)
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m,
-        num_blocks=1, huber_delta=options.huber_delta,
-    )
+    if options.compute_covariance:
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, _MANIFOLD, scale_by_variance=True, num_residuals=m,
+            num_blocks=1, huber_delta=options.huber_delta,
+        )
+    else:
+        # skip the extra linearization + 6x6 solve when covariance is off
+        cov = jnp.zeros((6, 6), out.x.dtype)
+        cov_ok = jnp.asarray(False)
     return out, se3.se3_exp(out.x), coeffs, cov, cov_ok, rms
 
 

@@ -102,10 +102,16 @@ def optimize_intrinsics_semidlt_device(
         res_fn, x0, manifold, options=opts.core, free_mask=free,
         num_blocks=1, lower=lower, upper=upper,
     )
-    cov, cov_ok = lm.covariance(
-        res_fn, out.x, manifold, free_mask=free,
-        num_blocks=1, huber_delta=opts.core.huber_delta,
-    )
+    if opts.core.compute_covariance:
+        cov, cov_ok = lm.covariance(
+            res_fn, out.x, manifold, free_mask=free,
+            num_blocks=1, huber_delta=opts.core.huber_delta,
+        )
+    else:
+        # skip the extra linearization + ambient solve when covariance is off
+        n_amb = manifold.ambient_dim
+        cov = jnp.zeros((n_amb, n_amb), x0.dtype)
+        cov_ok = jnp.asarray(False)
 
     kmtx, quats_f, trans_f = blocks.unpack_intr_quats_trans(out.x, 5, v)
     xy = _normalized_obs(quats_f, trans_f, obj_xy).reshape(-1, 2)

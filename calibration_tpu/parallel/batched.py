@@ -110,12 +110,14 @@ def _intrinsics_batch_jit(
     return jax.vmap(fn)(obj, uv, mask, init_intr, init_poses)
 
 
-def _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx=None):
-    """Merge a phase-B continuation into phase-A outputs. idx=None means
-    phase B ran full-width; otherwise out_b covers lanes ``idx``. Lanes that
-    were already converged in phase A keep their A fields untouched (their
-    re-solve is a no-op but would inflate the counters)."""
-    lm_b, intr_b, poses_b, err_b, _, _ = out_b
+def _merge_phase(lm_a, sol_a, out_b, idx=None):
+    """Merge a phase-B continuation into phase-A outputs (lm_a + solution
+    leaf tuple sol_a). idx=None means phase B ran full-width; otherwise
+    out_b covers lanes ``idx``. Lanes that were already converged in phase
+    A keep their A fields untouched (their re-solve is a no-op but would
+    inflate the counters)."""
+    n_sol = len(sol_a)
+    lm_b, sol_b = out_b[0], out_b[1:1 + n_sol]
     if idx is None:
         upd = ~lm_a.success
         a = lambda leaf: leaf
@@ -138,22 +140,52 @@ def _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx=None):
             a(lm_a.linearizations), a(lm_a.linearizations) + lm_b.linearizations
         ),
     )
-    merged = (
-        merged_lm,
-        pick(a(intr_a), intr_b),
-        pick(a(poses_a), poses_b),
-        pick(a(err_a), err_b),
-    )
+    merged_sol = tuple(pick(a(s_a), s_b) for s_a, s_b in zip(sol_a, sol_b))
     if idx is None:
-        return merged
+        return merged_lm, merged_sol
     scat = lambda full, part: full.at[idx].set(part)
     lm_full = type(lm_a)(*(scat(af, bf) for af, bf in zip(lm_a, merged_lm)))
-    return (
-        lm_full,
-        scat(intr_a, merged[1]),
-        scat(poses_a, merged[2]),
-        scat(err_a, merged[3]),
-    )
+    return lm_full, tuple(scat(s_a, s_m) for s_a, s_m in zip(sol_a, merged_sol))
+
+
+def _phased_lm(solve, data_args, init_sol, schedule, feedback):
+    """Generic phased compacted-batch LM driver.
+
+    ``solve(iters)`` must return a vmapped callable taking
+    ``(*data_args, *feedback_solution_leaves)`` and returning
+    ``(lm_out, *solution_leaves, cov, cov_ok)`` (cov ignored here — phased
+    callers defer covariance to one final pass). ``schedule`` is a static
+    tuple of (max_iters, k) phases, first phase full-width; each later
+    phase compacts the still-unconverged lanes into a k-wide continuation
+    (argsort gather, scatter back), falling back to full width when more
+    than k lanes are unconverged and skipping entirely when none are.
+    ``feedback`` indexes the solution leaves fed back as the next phase's
+    initial values. Returns (lm_out, solution_leaf_tuple)."""
+    out = solve(schedule[0][0])(*data_args, *init_sol)
+    lm_m, sol_m = out[0], tuple(out[1:-2])
+
+    for iters, k in schedule[1:]:
+        lm_a, sol_a = lm_m, sol_m
+        n_unconv = jnp.sum(~lm_a.success)
+
+        def compacted(_, iters=iters, k=k, lm_a=lm_a, sol_a=sol_a):
+            idx = jnp.argsort(lm_a.success)[:k]  # unconverged lanes first
+            fb = tuple(sol_a[j][idx] for j in feedback)
+            out_b = solve(iters)(*(d[idx] for d in data_args), *fb)
+            return _merge_phase(lm_a, sol_a, out_b, idx)
+
+        def full_width(_, iters=iters, lm_a=lm_a, sol_a=sol_a):
+            fb = tuple(sol_a[j] for j in feedback)
+            out_b = solve(iters)(*data_args, *fb)
+            return _merge_phase(lm_a, sol_a, out_b)
+
+        def run_phase(_, k=k):
+            return jax.lax.cond(n_unconv <= k, compacted, full_width, None)
+
+        lm_m, sol_m = jax.lax.cond(
+            n_unconv == 0, lambda _: (lm_a, sol_a), run_phase, None
+        )
+    return lm_m, sol_m
 
 
 @functools.partial(
@@ -196,36 +228,9 @@ def _intrinsics_batch_phased_jit(
             )
         )
 
-    lm_m, intr_m, poses_m, err_m, _, _ = solve(schedule[0][0])(
-        obj, uv, mask, init_intr, init_poses
+    lm_m, (intr_m, poses_m, err_m) = _phased_lm(
+        solve, (obj, uv, mask), (init_intr, init_poses), schedule, feedback=(0, 1)
     )
-
-    for iters, k in schedule[1:]:
-        lm_a, intr_a, poses_a, err_a = lm_m, intr_m, poses_m, err_m
-        n_unconv = jnp.sum(~lm_a.success)
-
-        def compacted(_, iters=iters, k=k, lm_a=lm_a, intr_a=intr_a,
-                      poses_a=poses_a, err_a=err_a):
-            idx = jnp.argsort(lm_a.success)[:k]  # unconverged lanes first
-            out_b = solve(iters)(
-                obj[idx], uv[idx], mask[idx], intr_a[idx], poses_a[idx]
-            )
-            return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b, idx)
-
-        def full_width(_, iters=iters, lm_a=lm_a, intr_a=intr_a,
-                       poses_a=poses_a, err_a=err_a):
-            out_b = solve(iters)(obj, uv, mask, intr_a, poses_a)
-            return _merge_phase(lm_a, intr_a, poses_a, err_a, out_b)
-
-        def run_phase(_, k=k):
-            return jax.lax.cond(n_unconv <= k, compacted, full_width, None)
-
-        lm_m, intr_m, poses_m, err_m = jax.lax.cond(
-            n_unconv == 0,
-            lambda _: (lm_a, intr_a, poses_a, err_a),
-            run_phase,
-            None,
-        )
 
     b = obj.shape[0]
     n_amb = model.param_count + 7 * obj.shape[1]
@@ -252,6 +257,10 @@ def _intrinsics_batch_phased_jit(
 # continuation.
 TWO_PHASE_CAP_A = int(os.environ.get("CALIB_TWO_PHASE_CAP", "6"))
 TWO_PHASE_MIN_BATCH = 64
+# full-width caps for the stereo-extrinsics / bundle phased paths (tuned on
+# the benchmarks/exp_iter_spread.py distributions at B=64)
+EXTRINSICS_PHASE_CAP = int(os.environ.get("CALIB_EXTR_PHASE_CAP", "12"))
+BUNDLE_PHASE_CAP = int(os.environ.get("CALIB_BUNDLE_PHASE_CAP", "12"))
 
 
 def phase_schedule(model_name: str, b: int, opts) -> tuple:
@@ -432,6 +441,46 @@ def _extrinsics_batch_jit(
     return jax.vmap(fn)(obj, uv, mask, intrs, c_se3_r, r_se3_t)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "model_name", "solver", "analytic", "schedule"),
+)
+def _extrinsics_batch_phased_jit(
+    obj, uv, mask, intrs, c_se3_r, r_se3_t, opts, model_name, solver, analytic,
+    schedule,
+):
+    """Phased compacted variant of _extrinsics_batch_jit (see _phased_lm).
+    Covariance is not deferred here — callers only select this path when
+    opts.core.compute_covariance is False."""
+    import dataclasses
+
+    from ..models.registry import get_model
+
+    model = get_model(model_name)
+
+    def solve(iters):
+        core = dataclasses.replace(
+            opts.core, compute_covariance=False, max_iterations=iters
+        )
+        op = dataclasses.replace(opts, core=core)
+        return jax.vmap(
+            lambda o_, u_, m_, i0, c0, r0: optimize_extrinsics_device(
+                o_, u_, i0, c0, r0, mask=m_, model=model, opts=op,
+                solver=solver, analytic_jac=analytic,
+            )
+        )
+
+    lm_m, (intr_m, c_m, r_m) = _phased_lm(
+        solve, (obj, uv, mask), (intrs, c_se3_r, r_se3_t), schedule,
+        feedback=(0, 1, 2),
+    )
+    b, v, c = obj.shape[0], obj.shape[1], obj.shape[2]
+    n_amb = c * model.param_count + 7 * c + 7 * v  # single-phase zero-cov shape
+    cov = jnp.zeros((b, n_amb, n_amb), obj.dtype)
+    cov_ok = jnp.zeros((b,), bool)
+    return lm_m, intr_m, c_m, r_m, cov, cov_ok
+
+
 def extrinsics_batch(
     obj_xy,
     img_uv,
@@ -444,6 +493,7 @@ def extrinsics_batch(
     mesh=None,
     solver: str = "schur",
     analytic_jac: bool | None = None,
+    two_phase: bool | None = None,
 ):
     """Joint multi-camera extrinsics refinement for a fleet of B rigs in
     one device dispatch (the reference's stereo stage loops pairs serially,
@@ -453,6 +503,11 @@ def extrinsics_batch(
     init_c_se3_r: (B, C, 4, 4); init_r_se3_t: (B, V, 4, 4);
     mask: (B, V, C, N). Returns the optimize_extrinsics_device tuple with a
     leading B axis.
+
+    two_phase: compact unconverged lanes after a full-width iteration cap
+    (see _phased_lm); None -> auto (on for B >= TWO_PHASE_MIN_BATCH
+    single-shard runs without covariance — the phased path defers no
+    covariance, so compute_covariance forces single-phase).
     """
     opts = opts or ExtrinsicOptions()
     obj_xy = jnp.asarray(obj_xy)
@@ -464,7 +519,24 @@ def extrinsics_batch(
          jnp.asarray(init_c_se3_r), jnp.asarray(init_r_se3_t)),
         mesh,
     )
-    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
+    b = obj_xy.shape[0]
+    analytic = _resolve_analytic(analytic_jac, b)
+    if two_phase is None:
+        two_phase = (
+            mesh is None
+            and b >= TWO_PHASE_MIN_BATCH
+            and not opts.core.compute_covariance
+        )
+    if two_phase:
+        total = opts.core.max_iterations
+        cap = min(EXTRINSICS_PHASE_CAP, total)
+        schedule = ((cap, None), (max(total - cap, 1), max(b // 4, 1)))
+        return _trim(
+            _extrinsics_batch_phased_jit(
+                *args, opts, model_name, solver, analytic, schedule
+            ),
+            real_b,
+        )
     return _trim(_extrinsics_batch_jit(*args, opts, model_name, solver, analytic), real_b)
 
 
@@ -567,14 +639,48 @@ def _bundle_batch_jit(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask, opts, anal
     return jax.vmap(fn)(obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask)
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "analytic", "schedule"))
+def _bundle_batch_phased_jit(
+    obj, uv, b_se3_g, cam_idx, intrs, g0, b0, mask, opts, analytic, schedule
+):
+    """Phased compacted variant of _bundle_batch_jit (see _phased_lm);
+    selected only when opts.core.compute_covariance is False."""
+    import dataclasses
+
+    def solve(iters):
+        core = dataclasses.replace(
+            opts.core, compute_covariance=False, max_iterations=iters
+        )
+        op = dataclasses.replace(opts, core=core)
+        return jax.vmap(
+            lambda o_, u_, bg, ci, m_, i0, g_, b_: optimize_bundle_device(
+                o_, u_, bg, ci, i0, g_, b_, mask=m_, model=PINHOLE, opts=op,
+                analytic_jac=analytic,
+            )
+        )
+
+    lm_m, (intr_m, g_m, b_m) = _phased_lm(
+        solve, (obj, uv, b_se3_g, cam_idx, mask), (intrs, g0, b0), schedule,
+        feedback=(0, 1, 2),
+    )
+    b_cnt, c = obj.shape[0], intrs.shape[1]
+    n_amb = c * PINHOLE.param_count + 7 * c + 7  # bundle ambient (zero-cov shape)
+    cov = jnp.zeros((b_cnt, n_amb, n_amb), obj.dtype)
+    cov_ok = jnp.zeros((b_cnt,), bool)
+    return lm_m, intr_m, g_m, b_m, cov, cov_ok
+
+
 def bundle_batch(
     obj_xy, img_uv, b_se3_g, cam_idx, init_intrs, init_g_se3_c, init_b_se3_t,
     mask=None, opts: Optional[BundleOptions] = None, mesh=None,
-    analytic_jac: bool | None = None,
+    analytic_jac: bool | None = None, two_phase: bool | None = None,
 ):
     """Bundle adjustment for a batch of rigs (leading axis B on every arg).
 
-    analytic_jac: None -> auto by batch size (ANALYTIC_JAC_MAX_BATCH)."""
+    analytic_jac: None -> auto by batch size (ANALYTIC_JAC_MAX_BATCH).
+    two_phase: compact unconverged lanes after BUNDLE_PHASE_CAP full-width
+    iterations (see _phased_lm); None -> auto (on for B >=
+    TWO_PHASE_MIN_BATCH single-shard runs without covariance)."""
     opts = opts or BundleOptions()
     obj_xy = jnp.asarray(obj_xy)
     if mask is None:
@@ -585,7 +691,19 @@ def bundle_batch(
          jnp.asarray(mask, obj_xy.dtype)),
         mesh,
     )
-    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
+    b = obj_xy.shape[0]
+    analytic = _resolve_analytic(analytic_jac, b)
+    if two_phase is None:
+        two_phase = (
+            mesh is None
+            and b >= TWO_PHASE_MIN_BATCH
+            and not opts.core.compute_covariance
+        )
+    if two_phase:
+        total = opts.core.max_iterations
+        cap = min(BUNDLE_PHASE_CAP, total)
+        schedule = ((cap, None), (max(total - cap, 1), max(b // 4, 1)))
+        return _trim(_bundle_batch_phased_jit(*args, opts, analytic, schedule), real_b)
     return _trim(_bundle_batch_jit(*args, opts, analytic), real_b)
 
 

@@ -214,3 +214,84 @@ def test_intrinsics_batch_two_phase_matches_single(monkeypatch):
     np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), rtol=1e-2, atol=1e-5)
     # phase-B iterations accumulate on top of phase A for re-solved lanes
     assert (np.asarray(lm2.iterations) >= 2).all()
+
+
+def test_extrinsics_batch_phased_matches_single(monkeypatch):
+    """Phased stereo-extrinsics (cap + quarter-width continuation,
+    batched._extrinsics_batch_phased_jit) must land on the same minimum as
+    single-phase. Cap pinned low so real lanes flow through the
+    compact/merge path."""
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    rel = synth.euler_pose(0.02, -0.35, 0.01, [-0.22, 0.01, 0.015])
+    r_se3_t = synth.circle_views(6, dist=1.0)
+    n = obj.shape[0]
+    rng = np.random.default_rng(5)
+    b = 8
+    uv_b = np.zeros((b, 6, 2, n, 2))
+    for v in range(6):
+        for ci, cpose in enumerate([r_se3_t[v], rel @ r_se3_t[v]]):
+            base = synth.render_pixels(intr, cpose[None], obj)[0]
+            uv_b[:, v, ci] = base[None] + rng.normal(0, 0.2, (b, n, 2))
+    obj_b = np.tile(obj[None, None, None], (b, 6, 2, 1, 1))
+    cams0 = np.tile(intr[None, None], (b, 2, 1))
+    c0 = np.tile(np.stack([np.eye(4), rel])[None], (b, 1, 1, 1))
+    r0 = np.tile(r_se3_t[None], (b, 1, 1, 1))
+
+    from calibration_tpu.optim import ExtrinsicOptions
+
+    opts = ExtrinsicOptions(
+        core=OptimOptions(max_iterations=40, compute_covariance=False)
+    )
+    out1 = batched.extrinsics_batch(
+        obj_b, uv_b, cams0, c0, r0, opts=opts, two_phase=False
+    )
+    monkeypatch.setattr(batched, "EXTRINSICS_PHASE_CAP", 2)
+    out2 = batched.extrinsics_batch(
+        obj_b, uv_b, cams0, c0, r0, opts=opts, two_phase=True
+    )
+    lm1, i1, c1, r1, cov1, _ = out1
+    lm2, i2, c2, r2, cov2, _ = out2
+    assert np.asarray(lm1.success).all() and np.asarray(lm2.success).all()
+    np.testing.assert_allclose(np.asarray(lm2.cost), np.asarray(lm1.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-6)
+    assert np.asarray(cov2).shape == np.asarray(cov1).shape
+
+
+def test_bundle_batch_phased_matches_single(monkeypatch):
+    """Phased bundle (batched._bundle_batch_phased_jit) must land on the
+    same minimum as single-phase."""
+    intr_gt = synth.default_camera()
+    obj = synth.make_target_grid(8, 11, 0.03)
+    sim = synth.make_handeye_sequence(num_poses=12)
+    rng = np.random.default_rng(9)
+    b = 8
+    o = sim["c_se3_t"].shape[0]
+    base_uv = synth.render_pixels(intr_gt, sim["c_se3_t"], obj)
+    uv_b = np.asarray(base_uv)[None] + rng.normal(0, 0.2, (b,) + base_uv.shape)
+    tile = lambda x: np.tile(np.asarray(x)[None], (b,) + (1,) * np.asarray(x).ndim)
+    obj_b = tile(np.tile(obj[None], (o, 1, 1)))
+    bg_b = tile(sim["b_se3_g"])
+    cam_idx = np.zeros((b, o), int)
+    intr0 = tile(intr_gt[None])
+    g0 = tile(synth.euler_pose(0.11, -0.21, 0.16, [0.022, -0.032, 0.052])[None])
+    t0 = tile(synth.euler_pose(0.06, 0.02, -0.07, [0.41, -0.09, 0.19]))
+
+    from calibration_tpu.optim import BundleOptions
+
+    opts = BundleOptions(core=OptimOptions(max_iterations=40, compute_covariance=False))
+    out1 = batched.bundle_batch(
+        obj_b, uv_b, bg_b, cam_idx, intr0, g0, t0, opts=opts, two_phase=False
+    )
+    monkeypatch.setattr(batched, "BUNDLE_PHASE_CAP", 2)
+    out2 = batched.bundle_batch(
+        obj_b, uv_b, bg_b, cam_idx, intr0, g0, t0, opts=opts, two_phase=True
+    )
+    lm1, i1, g1, t1, cov1, _ = out1
+    lm2, i2, g2, t2, cov2, _ = out2
+    assert np.asarray(lm1.success).all() and np.asarray(lm2.success).all()
+    np.testing.assert_allclose(np.asarray(lm2.cost), np.asarray(lm1.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-6)
+    assert np.asarray(cov2).shape == np.asarray(cov1).shape
