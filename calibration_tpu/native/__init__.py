@@ -59,7 +59,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         lib.ctpu_parse_detections.restype = ctypes.c_void_p
         lib.ctpu_parse_detections.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-        for name in ("ctpu_error", "ctpu_sensor_id", "ctpu_feature_type"):
+        for name in (
+            "ctpu_error", "ctpu_sensor_id", "ctpu_feature_type", "ctpu_header_json",
+        ):
             getattr(lib, name).restype = ctypes.c_char_p
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         lib.ctpu_num_images.restype = ctypes.c_int64
@@ -164,6 +166,9 @@ class PackedDetections(NamedTuple):
     img_uv: np.ndarray  # (V, N, 2)
     mask: np.ndarray  # (V, N) bool
     point_ids: np.ndarray  # (V, N) int64
+    # top-level JSON object minus "images", re-emitted verbatim by the codec;
+    # json.loads of this is O(header) instead of O(payload)
+    header_json: str = "{}"
 
 
 def load_detections_packed(
@@ -226,6 +231,7 @@ def load_detections_packed(
             img_uv=uv,
             mask=mask.astype(bool),
             point_ids=ids,
+            header_json=lib.ctpu_header_json(handle).decode(),
         )
     finally:
         lib.ctpu_free(handle)

@@ -47,6 +47,11 @@ struct Detections {
   std::string params_hash;
   std::vector<std::string> tags;
   std::vector<Image> images;
+  // Top-level JSON object with the "images" member removed, re-emitted
+  // verbatim (byte spans of the source). Lets Python rebuild the
+  // PlanarDetections header (metadata, sensor_id, ...) without paying a
+  // full json.loads of the multi-MB payload.
+  std::string header_json;
   std::string error;  // non-empty on parse failure
 };
 
@@ -254,8 +259,14 @@ class Parser {
 
   bool parse_detections_object(Detections* det) {
     if (!consume('{')) return fail("expected top-level object");
-    if (consume('}')) return true;
+    det->header_json = "{";
+    if (consume('}')) {
+      det->header_json += "}";
+      return true;
+    }
     while (true) {
+      skip_ws();
+      const char* pair_start = p_;  // at the opening quote of the key
       std::string key;
       if (!parse_string(&key) || !consume(':')) return false;
       if (key == "sensor_id" || key == "field_4") {
@@ -298,8 +309,16 @@ class Parser {
       } else {
         if (!skip_value()) return false;
       }
+      if (key != "images" && key != "field_8") {
+        if (det->header_json.size() > 1) det->header_json += ",";
+        det->header_json.append(pair_start, static_cast<size_t>(p_ - pair_start));
+      }
       if (consume(',')) continue;
-      return consume('}') || fail("expected } at top level");
+      if (consume('}')) {
+        det->header_json += "}";
+        return true;
+      }
+      return fail("expected } at top level");
     }
   }
 };
@@ -326,6 +345,12 @@ const char* ctpu_sensor_id(void* handle) {
 
 const char* ctpu_feature_type(void* handle) {
   return static_cast<Detections*>(handle)->feature_type.c_str();
+}
+
+// Top-level object minus "images", emitted verbatim from the source bytes
+// (see Detections::header_json). Empty string on parse failure.
+const char* ctpu_header_json(void* handle) {
+  return static_cast<Detections*>(handle)->header_json.c_str();
 }
 
 int64_t ctpu_num_images(void* handle) {

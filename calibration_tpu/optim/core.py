@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Any
 
 import numpy as np
 
@@ -50,7 +51,9 @@ class OptimResult:
     src/estimation/detail/ceresutils.h:42)."""
 
     success: bool = False
-    covariance: np.ndarray | None = None
+    # may be a utils.lazy.LazyDeviceArray in fleet paths (deferred D2H fetch;
+    # np.asarray / tolist / indexing all materialize it transparently)
+    covariance: "np.ndarray | Any | None" = None
     report: str = "Empty"
     final_cost: float = 0.0
     # extras beyond the reference (additive, does not break parity)

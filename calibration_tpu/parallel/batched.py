@@ -377,7 +377,15 @@ def _intrinsics_facade_batch_jit(
         view_valid=vv, analytic_jac=analytic,
     )
     out = jax.vmap(fn)(obj, uv, vmask, init_intr, init_poses, view_valid)
-    return seed, pose_ok, out
+    # fused QA recheck: the independent f32 reprojection-RMS recompute rides
+    # the same dispatch (a separate reprojection_rms_batch call pays its own
+    # ~30ms H2D+D2H round trip on this attachment); pinhole-only, like the
+    # facade's view_rms_check
+    if model.param_count == 10:
+        rms_check = reprojection_rms_batch(out[2], out[1], obj, uv, vmask)
+    else:
+        rms_check = jnp.zeros(obj.shape[:2], jnp.float32)
+    return seed, pose_ok, out, rms_check
 
 
 def intrinsics_facade_batch(
@@ -404,7 +412,8 @@ def intrinsics_facade_batch(
     so cameras with different view counts share one compiled program.
 
     Returns (seed: IntrinsicsEstimate batch, pose_ok (B, V), refine tuple
-    from optimize_intrinsics_device, all with leading B).
+    from optimize_intrinsics_device, rms_check (B, V) f32 — zeros for
+    non-pinhole models — all with leading B).
     """
     opts = opts or IntrinsicsOptimOptions()
     obj_xy = jnp.asarray(obj_xy)

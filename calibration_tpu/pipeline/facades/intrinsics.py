@@ -436,29 +436,29 @@ class PlanarIntrinsicCalibrationFacade:
             vv_b = np.stack([prepared[i].view_valid for i in idxs])
             import jax
 
-            # ONE device->host transfer for the whole bucket (per-job sliced
-            # conversions each pay a remote round trip on this attachment)
-            seed, pose_ok, refine_out = jax.device_get(
-                intrinsics_facade_batch(
-                    obj_b, uv_b, mask=mask_b, view_valid=vv_b,
-                    opts=cfg.options.optim_options, bounds=bounds,
-                    zero_skew=zero_skew, model_name=model.name,
-                )
-            )
-            lm_out, intr_b, poses_b, view_err_b, cov_b, cov_ok_b = refine_out
-            if model.param_count == 10:
-                # independent f32 reprojection-RMS recompute of the whole
-                # bucket in one dispatch (see view_rms_check docstring)
-                from ...parallel.batched import reprojection_rms_batch
+            from ...utils.lazy import BatchFetcher, LazyDeviceArray
 
-                rms_chk_b = np.asarray(
-                    reprojection_rms_batch(
-                        np.asarray(poses_b), np.asarray(intr_b), obj_b, uv_b,
-                        mask_b * vv_b[..., None],
-                    )
-                )
-            else:
-                rms_chk_b = None
+            # ONE device->host transfer for the whole bucket (per-job sliced
+            # conversions each pay a remote round trip on this attachment).
+            # The ambient covariance (B, n, n) dominates D2H volume (measured
+            # 128ms for a 16x94x94 f64 batch vs ~30ms for everything else)
+            # and the intrinsics report never serializes it — keep it on
+            # device and fetch lazily on first access (utils/lazy.py).
+            seed_d, pose_ok_d, refine_d, rms_chk_d = intrinsics_facade_batch(
+                obj_b, uv_b, mask=mask_b, view_valid=vv_b,
+                opts=cfg.options.optim_options, bounds=bounds,
+                zero_skew=zero_skew, model_name=model.name,
+            )
+            lm_d, intr_d, poses_d, view_err_d, cov_d, cov_ok_d = refine_d
+            (
+                seed, pose_ok, lm_out, intr_b, poses_b, view_err_b, cov_ok_b,
+                rms_chk_all,
+            ) = jax.device_get(
+                (seed_d, pose_ok_d, lm_d, intr_d, poses_d, view_err_d,
+                 cov_ok_d, rms_chk_d)
+            )
+            cov_fetcher = BatchFetcher(cov_d)
+            rms_chk_b = rms_chk_all if model.param_count == 10 else None
             kmtx_b = np.asarray(seed.kmtx)
             k_ok_b = np.asarray(seed.ok)
             h_ok_b = np.asarray(seed.h_ok)
@@ -479,7 +479,7 @@ class PlanarIntrinsicCalibrationFacade:
                 core = OptimResult(
                     success=bool(lm_out.success[j]),
                     covariance=(
-                        np.asarray(cov_b[j])
+                        LazyDeviceArray(cov_fetcher, j)
                         if (
                             cfg.options.optim_options.core.compute_covariance
                             and bool(cov_ok_b[j])

@@ -110,6 +110,75 @@ def handeye_fleet(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("min_angle_deg", "options"))
+def _planar_handeye_fused_jit(obj, uv, mask, kmtx, bg, min_angle_deg, options):
+    """Per-view planar poses + AX=XB DLT seed + LM refine in ONE program.
+
+    obj/uv: (R, O, N, 2); mask: (R, O, N); kmtx: (R, 5); bg: (R, O, 4, 4).
+    The intermediate camera->target poses never leave the device — on this
+    attachment the separate planar-pose dispatch paid its own ~30ms H2D +
+    ~30ms D2H round trip just to feed the hand-eye dispatch's H2D.
+    """
+    r, o = obj.shape[0], obj.shape[1]
+    kmtx_b = jnp.broadcast_to(kmtx[:, None, :], (r, o, 5))
+    ct = planarpose.estimate_planar_pose(obj, uv, kmtx_b, mask)
+
+    def solve(bg1, ct1):
+        # exactly estimate_and_optimize_handeye (see _handeye_fleet_jit)
+        pairs = hel.build_all_pairs(bg1, ct1, min_angle_deg)
+        init, _ = hel.estimate_handeye_dlt_pairs(pairs)
+        return optimize_handeye_device(
+            hel.reweight(pairs, OPTIMIZE_MIN_ANGLE_DEG), init, options
+        )
+
+    return jax.vmap(solve)(bg, ct)
+
+
+def planar_handeye_fleet(
+    jobs: Sequence[Tuple[List[np.ndarray], List[np.ndarray], np.ndarray, np.ndarray, float, OptimOptions]],
+) -> List[HandeyeResult]:
+    """Fused planar-pose + estimate_and_optimize_handeye fleet.
+
+    jobs: sequence of (obj_list [O x (N_i, 2)], uv_list, kmtx (5,),
+    base_se3_gripper (O, 4, 4), min_angle_deg, options). Views are padded to
+    the bucket's max point count with masks (masked rows are zeroed, exactly
+    equivalent to dropping them in the pose least squares). Bucketed by
+    (O, padded N, min_angle_deg, options). Returns HandeyeResult per job,
+    in order — identical to planar_pose_fleet + handeye_fleet (same device
+    functions, one program)."""
+    buckets: Dict[tuple, List[int]] = {}
+    for idx, (objs, _, _, bg, ang, opts) in enumerate(jobs):
+        nmax = max(o.shape[0] for o in objs)
+        buckets.setdefault((len(objs), nmax, float(ang), opts), []).append(idx)
+
+    out: List[HandeyeResult] = [None] * len(jobs)  # type: ignore[list-item]
+    for (o_count, nmax, ang, opts), idxs in buckets.items():
+        r = len(idxs)
+        obj = np.zeros((r, o_count, nmax, 2))
+        uv = np.zeros((r, o_count, nmax, 2))
+        mask = np.zeros((r, o_count, nmax), bool)
+        kmtx = np.stack([jobs[i][2] for i in idxs])
+        bg = np.stack([jobs[i][3] for i in idxs])
+        for j, i in enumerate(idxs):
+            for k, (ob, im) in enumerate(zip(jobs[i][0], jobs[i][1])):
+                n = ob.shape[0]
+                obj[j, k, :n] = ob
+                uv[j, k, :n] = im
+                mask[j, k, :n] = True
+        lm_out, pose, cov, cov_ok = jax.device_get(
+            _planar_handeye_fused_jit(
+                jnp.asarray(obj), jnp.asarray(uv), jnp.asarray(mask),
+                jnp.asarray(kmtx), jnp.asarray(bg), ang, opts,
+            )
+        )
+        for j, i in enumerate(idxs):
+            out[i] = _wrap_result(
+                jax.tree_util.tree_map(lambda a, j=j: a[j], lm_out),
+                pose[j], cov[j], cov_ok[j], opts,
+            )
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("min_angle_deg",))
 def _handeye_dlt_fleet_jit(bg, ct, min_angle_deg):
     fn = lambda b, c: hel.estimate_handeye_dlt(b, c, min_angle_deg)
@@ -279,6 +348,111 @@ def _bundle_fleet_jit():
         return jax.vmap(fn)(obj, uv, bg, ci, cams, g0, b0, mask)
 
     return fleet_jit
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedBundleJob:
+    """One rig's full bundle-stage device work when every hand-eye init is
+    host-known (source 'handeye' or 'identity' — no DLT seed needed): planar
+    poses, averaged-target init and the bundle LM run as ONE program."""
+
+    obj: np.ndarray  # (O, N, 2)
+    uv: np.ndarray  # (O, N, 2)
+    mask: np.ndarray  # (O, N)
+    kmtx: np.ndarray  # (O, 5) — per-observation camera K rows
+    bg: np.ndarray  # (O, 4, 4)
+    cam_idx: np.ndarray  # (O,)
+    cameras: np.ndarray  # (C, pc)
+    he_init: np.ndarray  # (C, 4, 4)
+    target_given: np.ndarray  # (4, 4) — used when use_given_target
+    use_given_target: bool
+    opts: object  # BundleOptions (frozen dataclass)
+
+
+@functools.lru_cache(maxsize=None)
+def _bundle_fused_jit():
+    from ..optim.bundle import optimize_bundle_device
+
+    @functools.partial(jax.jit, static_argnames=("opts",))
+    def fused(obj, uv, mask, kmtx, bg, ci, cams, g0, tgt_given, use_given, opts):
+        # 1) per-observation planar poses (bundle_utils.cpp:60-145's
+        #    estimate_planar_pose calls, batched)
+        ct = planarpose.estimate_planar_pose(obj, uv, kmtx, mask > 0)
+        # 2) averaged-target init b*X*c (bundle_utils.cpp:202-237), candidates
+        #    in the serial path's sensor-major order (stable sort by cam_idx)
+        #    so quaternion sign alignment matches the staged path exactly
+        order = jnp.argsort(ci, axis=-1, stable=True)
+        x_per_obs = jnp.take_along_axis(g0, ci[..., None, None], axis=1)
+        cand = bg @ x_per_obs @ ct
+        cand = jnp.take_along_axis(cand, order[..., None, None], axis=1)
+        avg = jax.vmap(se3.average_isometries)(
+            cand, jnp.ones(cand.shape[:2], cand.dtype)
+        )
+        tgt0 = jnp.where(use_given[:, None, None], tgt_given, avg)
+        # 3) bundle LM
+        fn = lambda o, u, b, c, k, g, t, m: optimize_bundle_device(
+            o, u, b, c, k, g, t, mask=m, opts=opts
+        )
+        out = jax.vmap(fn)(obj, uv, bg, ci, cams, g0, tgt0, mask)
+        return out, tgt0
+
+    return fused
+
+
+def bundle_fused_fleet(jobs: Sequence[FusedBundleJob]):
+    """Fused bundle-stage fleet: one program per (O, N, C, pc, opts) bucket
+    covering planar poses + target averaging + bundle LM (the staged path
+    pays three dispatch round trips). Returns (BundleResult, target_init
+    (4, 4) numpy) per job, in order."""
+    from ..optim.bundle import BundleResult
+    from ..optim.core import OptimResult, TerminationType, brief_report
+
+    fused = _bundle_fused_jit()
+    buckets: Dict[tuple, List[int]] = {}
+    for idx, job in enumerate(jobs):
+        buckets.setdefault((job.obj.shape, job.cameras.shape, job.opts), []).append(idx)
+
+    out: List = [None] * len(jobs)
+    for (_, _, opts), idxs in buckets.items():
+        stack = lambda field: jnp.asarray(
+            np.stack([np.asarray(getattr(jobs[i], field)) for i in idxs])
+        )
+        (lm_out, intr, g_se3_c, b_se3_t, cov, cov_ok), tgt0 = jax.device_get(
+            fused(
+                stack("obj"), stack("uv"), stack("mask"), stack("kmtx"),
+                stack("bg"),
+                jnp.asarray(
+                    np.stack([np.asarray(jobs[i].cam_idx) for i in idxs]), jnp.int32
+                ),
+                stack("cameras"), stack("he_init"), stack("target_given"),
+                jnp.asarray([bool(jobs[i].use_given_target) for i in idxs]),
+                opts,
+            )
+        )  # one transfer per bucket
+        for j, i in enumerate(idxs):
+            core = OptimResult(
+                success=bool(lm_out.success[j]),
+                covariance=(
+                    np.asarray(cov[j])
+                    if (opts.core.compute_covariance and bool(cov_ok[j]))
+                    else None
+                ),
+                final_cost=float(lm_out.cost[j]),
+                iterations=int(lm_out.iterations[j]),
+                termination=TerminationType(int(lm_out.termination[j])),
+                initial_cost=float(lm_out.initial_cost[j]),
+            )
+            core.report = brief_report(core)
+            out[i] = (
+                BundleResult(
+                    core=core,
+                    cameras=np.asarray(intr[j]),
+                    g_se3_c=np.asarray(g_se3_c[j]),
+                    b_se3_t=np.asarray(b_se3_t[j]),
+                ),
+                np.asarray(tgt0[j]),
+            )
+    return out
 
 
 def bundle_fleet(jobs: Sequence[BundleJob]):

@@ -279,6 +279,7 @@ class HandEyeCalibrationStage(CalibrationStage):
                     "sensors_json": sensors_json,
                     "sensors_artifact": sensors_artifact,
                     "bases": [], "pose_idx": [], "solve": None,
+                    "views_obj": [], "views_uv": [], "kmtx": None,
                 }
                 records.append(rec)
                 intr = context.intrinsic_results.get(sensor_id)
@@ -315,6 +316,9 @@ class HandEyeCalibrationStage(CalibrationStage):
                         continue
                     rec["bases"].append(np.asarray(view_cfg.base_se3_gripper))
                     rec["pose_idx"].append(len(pose_jobs))
+                    rec["views_obj"].append(obj)
+                    rec["views_uv"].append(uv)
+                    rec["kmtx"] = np.asarray(camera[:5])
                     pose_jobs.append((obj, uv, np.asarray(camera[:5])))
                     vj["status"] = "ok"
                     view_reports.append(vj)
@@ -328,27 +332,44 @@ class HandEyeCalibrationStage(CalibrationStage):
                 else:
                     rec["solve"] = True
 
-        # ---- phase B: batched planar poses, then batched AX=XB solves ----
-        poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
-        he_jobs, he_recs = [], []
-        for rec in records:
-            if rec["solve"]:
-                he_jobs.append((
+        # ---- phase B: planar poses + AX=XB solves, fused into ONE batched
+        # dispatch per bucket (fleet.planar_handeye_fleet; the camera->target
+        # poses never leave the device). Staged two-dispatch path kept as the
+        # compile-failure fallback. ----
+        he_recs = [rec for rec in records if rec["solve"]]
+        try:
+            he_results = (
+                fleet.planar_handeye_fleet([
+                    (
+                        rec["views_obj"], rec["views_uv"], rec["kmtx"],
+                        np.stack(rec["bases"]),
+                        rec["rig"].min_angle_deg, rec["rig"].options,
+                    )
+                    for rec in he_recs
+                ])
+                if he_recs
+                else []
+            )
+        except Exception:  # pragma: no cover — shape/compile failure fallback
+            poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
+            he_jobs = [
+                (
                     np.stack(rec["bases"]),
                     np.stack([poses[i] for i in rec["pose_idx"]]),
                     rec["rig"].min_angle_deg,
                     rec["rig"].options,
-                ))
-                he_recs.append(rec)
-        try:
-            he_results = fleet.handeye_fleet(he_jobs) if he_jobs else []
-        except Exception:  # pragma: no cover — shape/compile failure fallback
-            he_results = []
-            for bg, ct, ang, opts in he_jobs:
-                try:
-                    he_results.append(estimate_and_optimize_handeye(bg, ct, ang, opts))
-                except Exception as ex:  # noqa: BLE001 — parity (handeye_stage.cpp:185-190)
-                    he_results.append(ex)
+                )
+                for rec in he_recs
+            ]
+            try:
+                he_results = fleet.handeye_fleet(he_jobs) if he_jobs else []
+            except Exception:  # pragma: no cover
+                he_results = []
+                for bg, ct, ang, opts in he_jobs:
+                    try:
+                        he_results.append(estimate_and_optimize_handeye(bg, ct, ang, opts))
+                    except Exception as ex:  # noqa: BLE001 — parity (handeye_stage.cpp:185-190)
+                        he_results.append(ex)
 
         # ---- phase C: fill reports and statuses in submission order ----
         for rec, he in zip(he_recs, he_results):
@@ -535,28 +556,18 @@ class BundleAdjustmentStage(CalibrationStage):
                 accum_pose_idx=accum_pose_idx, views_json=views_json,
             )
 
-        # ---- phase B: one batched planar-pose dispatch for every view ----
-        poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
-
-        # ---- phase C: hand-eye + target inits (prior stage / DLT / identity) ----
-        # C1: decide each (rig, sensor) init source; gather the DLT seeds
-        # (bundle_utils.cpp:148-200 solves them per rig x sensor — here they
-        # run as one batched dispatch, fleet.handeye_dlt_fleet)
-        dlt_jobs, dlt_slots = [], []
+        # ---- phase B: hand-eye init SOURCES (host-known info only; the DLT
+        # seed values themselves are device work and are deferred) ----
+        # (bundle_utils.cpp:148-200 decides and solves per rig x sensor)
+        any_dlt = False
         for rec in recs:
             if not rec["solve"]:
                 continue
             rig = rec["rig"]
-            accum_base = rec["accum_base"]
-            accum_cam = {
-                sidx: [poses[i] for i in idx_list]
-                for sidx, idx_list in rec["accum_pose_idx"].items()
-            }
-            rec["accum_cam"] = accum_cam
-
             he_init = np.tile(np.eye(4), (len(rig.sensors), 1, 1))
             he_report = []
             rec["he_failed"] = False
+            rec["dlt_sidx"] = []
             rig_he = context.handeye_results.get(rig.rig_id, {})
             for sidx, sensor_id in enumerate(rig.sensors):
                 entry = {"sensor_id": sensor_id, "source": "identity"}
@@ -564,14 +575,10 @@ class BundleAdjustmentStage(CalibrationStage):
                 if he is not None and he.core.success:
                     he_init[sidx] = he.g_se3_c
                     entry.update(source="handeye", success=True)
-                elif len(accum_cam[sidx]) >= 2:
+                elif len(rec["accum_pose_idx"][sidx]) >= 2:
                     entry["source"] = "dlt"
-                    dlt_jobs.append((
-                        np.stack(accum_base[sidx]),
-                        np.stack(accum_cam[sidx]),
-                        rig.min_angle_deg,
-                    ))
-                    dlt_slots.append((rec, sidx, entry))
+                    rec["dlt_sidx"].append((sidx, entry))
+                    any_dlt = True
                 else:
                     entry.update(success=False, error="insufficient_observations")
                     rec["he_failed"] = True
@@ -579,93 +586,141 @@ class BundleAdjustmentStage(CalibrationStage):
             rec["json"]["handeye_initialization"] = he_report
             rec["he_init"] = he_init
             rec["he_report"] = he_report
-
-        # C2: one batched DLT dispatch, fill the deferred slots
-        try:
-            dlt_results = fleet.handeye_dlt_fleet(dlt_jobs) if dlt_jobs else []
-        except Exception:  # pragma: no cover — shape/compile failure fallback
-            dlt_results = []
-            for bg_j, ct_j, ang_j in dlt_jobs:
-                try:
-                    pose, ok = handeye_linear.estimate_handeye_dlt(
-                        jnp.asarray(bg_j), jnp.asarray(ct_j), ang_j
-                    )
-                    dlt_results.append((np.asarray(pose), bool(ok)))
-                except Exception as ex:  # noqa: BLE001
-                    dlt_results.append(ex)
-        for (rec, sidx, entry), res in zip(dlt_slots, dlt_results):
-            if isinstance(res, Exception):
-                entry.update(success=False, error=str(res))
-                rec["he_failed"] = True
-                continue
-            pose, ok = res
-            rec["he_init"][sidx] = pose
-            entry["success"] = bool(ok)
-            if not bool(ok):
-                rec["he_failed"] = True
-
-        # C3: target init per rig (needs the final he_init)
-        avg_groups, avg_recs = [], []
-        for rec in recs:
-            if not rec["solve"]:
-                continue
-            rig = rec["rig"]
-            rig_json = rec["json"]
-            accum_base = rec["accum_base"]
-            accum_cam = rec["accum_cam"]
-            he_init = rec["he_init"]
-            he_failed = rec["he_failed"]
-
-            # target init: config -> averaged b*X*c -> identity (bundle_utils.cpp:202-237)
+            # target source (bundle_utils.cpp:202-237): config -> averaged
+            # b*X*c (always possible here: solve implies observations) ->
+            # identity (unreachable when solve)
             if rig.initial_target is not None:
                 rec["target"] = np.asarray(rig.initial_target)
                 rec["target_source"] = "config"
             else:
-                candidates = []
-                for sidx in range(len(rig.sensors)):
-                    for b, c in zip(accum_base[sidx], accum_cam[sidx]):
-                        candidates.append(b @ he_init[sidx] @ c)
-                if candidates:
-                    rec["target_source"] = "estimated"
-                    avg_groups.append(candidates)
-                    avg_recs.append(rec)
-                else:
-                    rec["target"] = np.eye(4)
-                    rec["target_source"] = "identity"
-            if he_failed and rig.initial_target is None:
+                rec["target_source"] = "estimated"
+            if rec["he_failed"] and rig.initial_target is None:
                 overall = False
 
-        for rec, avg in zip(avg_recs, fleet.average_isometries_fleet(avg_groups)):
-            rec["target"] = avg
-
-        # ---- phase D: one batched bundle dispatch per shape bucket ----
         solve_recs = [rec for rec in recs if rec["solve"]]
-        jobs = []
-        for rec in solve_recs:
-            obj_b, uv_b, mask_b = pad_views(rec["obs_views"])
-            jobs.append(
-                fleet.BundleJob(
-                    obj=obj_b, uv=uv_b, bg=np.stack(rec["obs_bg"]),
-                    cam_idx=np.asarray(rec["obs_cam_idx"]), cameras=rec["cameras"],
-                    he_init=rec["he_init"], target=rec["target"], mask=mask_b,
-                    opts=rec["rig"].options,
-                )
-            )
-        try:
-            bundle_results = fleet.bundle_fleet(jobs) if jobs else []
-        except Exception:  # pragma: no cover — shape/compile failure fallback
-            bundle_results = []
-            for job in jobs:
-                try:
-                    bundle_results.append(
-                        optimize_bundle(
-                            job.obj, job.uv, job.bg, job.cam_idx, job.cameras,
-                            job.he_init, job.target, mask=jnp.asarray(job.mask),
-                            opts=job.opts,
+
+        # ---- phase C+D: device work. Fast path (no DLT seeds needed — every
+        # hand-eye init is host-known): planar poses + target averaging +
+        # bundle LM fused into ONE dispatch per shape bucket
+        # (fleet.bundle_fused_fleet). General path: staged dispatches. ----
+        bundle_results: List = []
+        fused_done = False
+        if solve_recs and not any_dlt:
+            try:
+                jobs_f = []
+                for rec in solve_recs:
+                    obj_b, uv_b, mask_b = pad_views(rec["obs_views"])
+                    cam_idx = np.asarray(rec["obs_cam_idx"])
+                    jobs_f.append(
+                        fleet.FusedBundleJob(
+                            obj=obj_b, uv=uv_b, mask=mask_b,
+                            kmtx=rec["cameras"][cam_idx][:, :5],
+                            bg=np.stack(rec["obs_bg"]), cam_idx=cam_idx,
+                            cameras=rec["cameras"], he_init=rec["he_init"],
+                            target_given=rec["target"]
+                            if rec["target_source"] == "config"
+                            else np.eye(4),
+                            use_given_target=rec["target_source"] == "config",
+                            opts=rec["rig"].options,
                         )
                     )
-                except Exception as ex:  # noqa: BLE001 — parity (bundle_stage.cpp:146-151)
-                    bundle_results.append(ex)
+                for rec, (br, tgt0) in zip(
+                    solve_recs, fleet.bundle_fused_fleet(jobs_f)
+                ):
+                    rec["target"] = tgt0
+                    bundle_results.append(br)
+                fused_done = True
+            except Exception:  # pragma: no cover — fall back to staged path
+                bundle_results = []
+
+        if solve_recs and not fused_done:
+            # ---- staged path: C1 planar poses, C2 DLT seeds, C3 target
+            # averaging, D bundle — one batched dispatch each ----
+            poses = fleet.planar_pose_fleet(pose_jobs) if pose_jobs else []
+            dlt_jobs, dlt_slots = [], []
+            for rec in solve_recs:
+                accum_cam = {
+                    sidx: [poses[i] for i in idx_list]
+                    for sidx, idx_list in rec["accum_pose_idx"].items()
+                }
+                rec["accum_cam"] = accum_cam
+                for sidx, entry in rec["dlt_sidx"]:
+                    dlt_jobs.append((
+                        np.stack(rec["accum_base"][sidx]),
+                        np.stack(accum_cam[sidx]),
+                        rec["rig"].min_angle_deg,
+                    ))
+                    dlt_slots.append((rec, sidx, entry))
+
+            # C2: one batched DLT dispatch, fill the deferred slots
+            try:
+                dlt_results = fleet.handeye_dlt_fleet(dlt_jobs) if dlt_jobs else []
+            except Exception:  # pragma: no cover — shape/compile failure fallback
+                dlt_results = []
+                for bg_j, ct_j, ang_j in dlt_jobs:
+                    try:
+                        pose, ok = handeye_linear.estimate_handeye_dlt(
+                            jnp.asarray(bg_j), jnp.asarray(ct_j), ang_j
+                        )
+                        dlt_results.append((np.asarray(pose), bool(ok)))
+                    except Exception as ex:  # noqa: BLE001
+                        dlt_results.append(ex)
+            for (rec, sidx, entry), res in zip(dlt_slots, dlt_results):
+                if isinstance(res, Exception):
+                    entry.update(success=False, error=str(res))
+                    rec["he_failed"] = True
+                    if rec["rig"].initial_target is None:
+                        overall = False
+                    continue
+                pose, ok = res
+                rec["he_init"][sidx] = pose
+                entry["success"] = bool(ok)
+                if not bool(ok):
+                    rec["he_failed"] = True
+                    if rec["rig"].initial_target is None:
+                        overall = False
+
+            # C3: averaged target init per rig (needs the final he_init)
+            avg_groups, avg_recs = [], []
+            for rec in solve_recs:
+                if rec["target_source"] != "estimated":
+                    continue
+                candidates = []
+                for sidx in range(len(rec["rig"].sensors)):
+                    for b, c in zip(rec["accum_base"][sidx], rec["accum_cam"][sidx]):
+                        candidates.append(b @ rec["he_init"][sidx] @ c)
+                avg_groups.append(candidates)
+                avg_recs.append(rec)
+            for rec, avg in zip(avg_recs, fleet.average_isometries_fleet(avg_groups)):
+                rec["target"] = avg
+
+            # ---- phase D: one batched bundle dispatch per shape bucket ----
+            jobs = []
+            for rec in solve_recs:
+                obj_b, uv_b, mask_b = pad_views(rec["obs_views"])
+                jobs.append(
+                    fleet.BundleJob(
+                        obj=obj_b, uv=uv_b, bg=np.stack(rec["obs_bg"]),
+                        cam_idx=np.asarray(rec["obs_cam_idx"]), cameras=rec["cameras"],
+                        he_init=rec["he_init"], target=rec["target"], mask=mask_b,
+                        opts=rec["rig"].options,
+                    )
+                )
+            try:
+                bundle_results = fleet.bundle_fleet(jobs) if jobs else []
+            except Exception:  # pragma: no cover — shape/compile failure fallback
+                bundle_results = []
+                for job in jobs:
+                    try:
+                        bundle_results.append(
+                            optimize_bundle(
+                                job.obj, job.uv, job.bg, job.cam_idx, job.cameras,
+                                job.he_init, job.target, mask=jnp.asarray(job.mask),
+                                opts=job.opts,
+                            )
+                        )
+                    except Exception as ex:  # noqa: BLE001 — parity (bundle_stage.cpp:146-151)
+                        bundle_results.append(ex)
 
         # ---- phase E: fill reports in rig order ----
         for rec, br in zip(solve_recs, bundle_results):
