@@ -380,9 +380,12 @@ def _intrinsics_facade_batch_jit(
     # fused QA recheck: the independent f32 reprojection-RMS recompute rides
     # the same dispatch (a separate reprojection_rms_batch call pays its own
     # ~30ms H2D+D2H round trip on this attachment); pinhole-only, like the
-    # facade's view_rms_check
+    # facade's view_rms_check. The XLA scoring path is used directly: the
+    # pallas dispatcher probes OUTSIDE traces only, and this runs inside the
+    # facade jit (the probe's tiny-shape success does not transfer — the
+    # full-shape kernel failed Mosaic legalization inside this program).
     if model.param_count == 10:
-        rms_check = reprojection_rms_batch(out[2], out[1], obj, uv, vmask)
+        rms_check = _rms_check_xla(out[2], out[1], obj, uv, vmask)
     else:
         rms_check = jnp.zeros(obj.shape[:2], jnp.float32)
     return seed, pose_ok, out, rms_check
@@ -553,6 +556,28 @@ def extrinsics_batch(
 def _rms_from_residuals(res, mask_r):
     cnt = jnp.maximum(jnp.sum(mask_r.astype(res.dtype), axis=-1), 1.0)
     return jnp.sqrt(jnp.sum(res * res, axis=(-2, -1)) / (2.0 * cnt))
+
+
+def _rms_check_xla(c_se3_t, intrs, obj_xy, img_uv, mask):
+    """Trace-safe (B, V) f32 reprojection RMS via the XLA scoring path —
+    for use INSIDE other jitted programs (reprojection_rms_batch's pallas
+    probe must run outside traces)."""
+    from ..ops.pallas_kernels import projection_residuals_xla
+
+    b, v, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
+    poses = jnp.asarray(c_se3_t)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    rot = f32(poses[..., :3, :3]).reshape(b * v, 3, 3)
+    tra = f32(poses[..., :3, 3]).reshape(b * v, 3)
+    intr_rows = f32(
+        jnp.broadcast_to(jnp.asarray(intrs)[:, None, :], (b, v, 10))
+    ).reshape(b * v, 10)
+    mask_r = f32(mask).reshape(b * v, n)
+    res = projection_residuals_xla(
+        rot, tra, intr_rows, f32(obj_xy).reshape(b * v, n, 2),
+        f32(img_uv).reshape(b * v, n, 2), mask_r,
+    )
+    return _rms_from_residuals(res, mask_r).reshape(b, v)
 
 
 def reprojection_rms_batch(c_se3_t, intrs, obj_xy, img_uv, mask=None):
