@@ -841,3 +841,80 @@ def test_linescan_cli_scheimpflug(tmp_path):
         n, d = -n, -d
     np.testing.assert_allclose(n, plane_n, atol=2e-3)
     np.testing.assert_allclose(d, plane_d, atol=2e-3)
+
+
+def test_bundle_fused_path_matches_staged(monkeypatch):
+    """The bundle stage's fused fast path (planar poses + averaged-target
+    init + bundle LM in ONE program, fleet.bundle_fused_fleet) must land on
+    the same result as the staged dispatches it replaces. Forces the staged
+    path by making the fused fleet raise (the stage's documented fallback)
+    and compares contexts + artifacts. Same-minimum tolerances as
+    test_handeye_bundle_fleet_matches_serial (differently-batched XLA
+    programs converge within ftol, not bitwise)."""
+    from calibration_tpu.pipeline import fleet
+
+    dets, sims, he_rigs, b_rigs, cam_cfgs = _multirig_fixture(num_rigs=2)
+    report_f, ctx_f = _run_pipeline(dets, he_rigs, b_rigs, cam_cfgs)
+    assert report_f.success
+
+    def boom(jobs):
+        raise RuntimeError("forced staged path")
+
+    monkeypatch.setattr(fleet, "bundle_fused_fleet", boom)
+    report_s, ctx_s = _run_pipeline(dets, he_rigs, b_rigs, cam_cfgs)
+    assert report_s.success
+
+    for r in range(2):
+        rid = f"rig{r}"
+        bf, bs = ctx_f.bundle_results[rid], ctx_s.bundle_results[rid]
+        np.testing.assert_allclose(bf.g_se3_c, bs.g_se3_c, atol=1e-5)
+        np.testing.assert_allclose(bf.b_se3_t, bs.b_se3_t, atol=1e-5)
+        np.testing.assert_allclose(
+            bf.core.final_cost, bs.core.final_cost, rtol=1e-6, atol=1e-8
+        )
+        af = ctx_f.artifacts["bundle"][rid]
+        as_ = ctx_s.artifacts["bundle"][rid]
+        # identical init metadata and near-identical target init matrices
+        assert af["initial_hand_eye"] == as_["initial_hand_eye"]
+        np.testing.assert_allclose(
+            np.asarray(af["initial_target"]), np.asarray(as_["initial_target"]),
+            atol=1e-9,
+        )
+
+
+def test_lazy_covariance_matches_eager():
+    """calibrate_many returns the ambient covariance as a LazyDeviceArray
+    (deferred D2H fetch); materialization must equal the serial facade's
+    eager covariance on the same sensor."""
+    from calibration_tpu.pipeline.facades.intrinsics import (
+        PlanarIntrinsicCalibrationFacade,
+    )
+    from calibration_tpu.utils.lazy import LazyDeviceArray
+
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(6, 8, 0.04)
+    sim = synth.make_handeye_sequence(num_poses=8)
+    det = _detections_from_views(intr, sim["c_se3_t"], obj, sensor_id="cam0")
+    cfg = IntrinsicCalibrationConfig(
+        options=IntrinsicCalibrationOptions(
+            optim_options=IntrinsicsOptimOptions(
+                core=OptimOptions(max_iterations=60, compute_covariance=True)
+            ),
+            min_corners_per_view=10,
+        ),
+        cameras=[CameraConfig(camera_id="cam0", image_size=[640, 480])],
+    )
+    facade = PlanarIntrinsicCalibrationFacade()
+    many = facade.calibrate_many(cfg, [(cfg.cameras[0], det)])
+    assert not isinstance(many[0], Exception)
+    cov_lazy = many[0].refine_result.core.covariance
+    assert isinstance(cov_lazy, LazyDeviceArray)
+
+    single = facade.calibrate(cfg, cfg.cameras[0], det)
+    cov_eager = single.refine_result.core.covariance
+    assert cov_eager is not None
+    np.testing.assert_allclose(np.asarray(cov_lazy), cov_eager, rtol=1e-6, atol=1e-12)
+    # duck-typed read surface
+    assert cov_lazy.shape == cov_eager.shape
+    assert isinstance(cov_lazy.tolist(), list)
+    np.testing.assert_allclose(cov_lazy[0, 0], cov_eager[0, 0])

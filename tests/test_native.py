@@ -177,3 +177,60 @@ def test_fastjson_float_roundtrip_exhaustive():
     back = json.loads(out)
     for a, b in zip(vals, back):
         assert struct.pack("<d", float(a)) == struct.pack("<d", b)
+
+
+def test_native_header_json_matches_payload():
+    """The codec re-emits the top-level object minus "images" verbatim; the
+    loader builds the PlanarDetections header from it without a full python
+    json.loads (loaders._parse_detections raw=None path)."""
+    import json
+
+    from calibration_tpu import native
+
+    if not native.available():  # pragma: no cover
+        return
+    payload = {
+        "image_directory": "imgs", "feature_type": "chessboard",
+        "algo_version": "v2", "params_hash": "abc", "sensor_id": "cam0",
+        "tags": ["synthetic"],
+        "metadata": {"detector": {"name": "det", "threshold": 0.5},
+                     "nested": [1, 2, {"a": None}], "flag": True},
+        "images": [{"file": "f0.png", "points": [
+            {"x": 1.5, "y": 2.5, "id": 3,
+             "local_x": 0.1, "local_y": 0.2, "local_z": 0.0}]}],
+        "extra_unknown": [True, False, 1e-3, 'strin"g\\u00e9'],
+    }
+    expect = {k: v for k, v in payload.items() if k != "images"}
+    # images in the middle AND at the end of the object
+    for order in (payload, {"images": payload["images"],
+                            **{k: v for k, v in payload.items() if k != "images"}}):
+        pk = native.load_detections_packed(json.dumps(order).encode())
+        assert json.loads(pk.header_json) == expect
+
+
+def test_loader_lazy_raw_json(tmp_path):
+    """raw_json defers json.loads until first access and then behaves like a
+    plain dict (membership, getitem, items)."""
+    import json
+
+    from calibration_tpu.pipeline.loaders import JsonPlanarDatasetLoader
+
+    payload = {
+        "sensor_id": "cam0", "feature_type": "chessboard",
+        "images": [{"file": "a.png", "points": [
+            {"x": 1.0, "y": 2.0, "id": 0,
+             "local_x": 0.0, "local_y": 0.0, "local_z": 0.0}] * 4}],
+    }
+    p = tmp_path / "det.json"
+    p.write_text(json.dumps(payload))
+    loader = JsonPlanarDatasetLoader()
+    loader.add_entry(str(p), "cam0")
+    ds = loader.load()
+    assert str(p) in ds.raw_json
+    raw = ds.raw_json[str(p)]
+    assert raw["sensor_id"] == "cam0" and "images" in raw
+    assert [k for k, _ in ds.raw_json.items()] == [str(p)]
+    # detections parsed correctly regardless of the lazy raw path
+    det = ds.planar_cameras[0]
+    assert det.sensor_id == "cam0"
+    assert det.images[0].num_points() == 4
