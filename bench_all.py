@@ -100,11 +100,13 @@ def timed_batch(fn, args, make_args, repeats=3):
     return out, min(times)
 
 
-def timed_cpu(solve_one, n, passes=3):
+def timed_cpu(solve_one, n, passes=4):
     """Best-of-``passes`` sequential CPU floor. A single pass on this shared
     1-vCPU host can be inflated several-x by transient load (observed 2.97s
     vs 0.39s for identical solves), which silently *overstates* vs_baseline;
-    the min over repeated passes is the honest sequential capability."""
+    the min over repeated passes is the honest sequential capability.
+    Per-pass times are kept on the function (``timed_cpu.last_passes``) so
+    rows can publish the full list (auditable-floor rule, VERDICT r3 #2)."""
     results, times = None, []
     for _ in range(passes):
         t0 = time.time()
@@ -112,6 +114,7 @@ def timed_cpu(solve_one, n, passes=3):
         times.append(time.time() - t0)
         if results is None:
             results = out
+    timed_cpu.last_passes = [round(t, 4) for t in times]
     return results, min(times)
 
 
@@ -152,6 +155,8 @@ def bench_homography():
         "unit": "solves/sec",
         "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "parity_max_abs_dH": parity,
     }
 
@@ -216,6 +221,8 @@ def bench_intrinsics():
         "unit": "solves/sec",
         "vs_baseline": round(throughput / cpu_tp, 2),
         "cpu_solves_per_sec": round(cpu_tp, 2),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "parity_max_abs_dK_px": float(max(deltas)),
         "parity_final_cost_rel": cost_rel,
         "parity_cost_ok": bool(cost_rel <= 1e-7),
@@ -414,8 +421,10 @@ def bench_extrinsics():
     from calibration_tpu.optim import ExtrinsicOptions, OptimOptions
     from calibration_tpu.parallel import batched
 
-    b = int(os.environ.get("BENCH_STEREO_BATCH", "64"))
-    n_cpu = 2
+    # default batch from the measured throughput curve (stereo_sweep 2026-08-20:
+    # B=64 142, B=128 171.6, B=256 142.9, B=512 53.1 rigs/s — HBM cliff past 256)
+    b = int(os.environ.get("BENCH_STEREO_BATCH", "128"))
+    n_cpu = 6
     _log(f"[3 stereo extrinsics] batch={b}")
     p = pb.stereo_problems(b)
     opts = ExtrinsicOptions(core=OptimOptions(max_iterations=50, compute_covariance=False))
@@ -474,6 +483,8 @@ def bench_extrinsics():
         "unit": "rigs/sec",
         "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "parity_relpose_rot_deg": float(max(rots)),
         "parity_relpose_trans_m": float(max(tras)),
         "parity_final_cost_rel": cost_rel,
@@ -509,6 +520,8 @@ def bench_handeye():
         "unit": "rigs/sec",
         "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "parity_rot_deg": float(max(rots)),
         "parity_trans_m": float(max(tras)),
     }
@@ -519,7 +532,7 @@ def bench_bundle():
     from calibration_tpu.parallel import batched
 
     b = int(os.environ.get("BENCH_BUNDLE_BATCH", "64"))
-    n_cpu = 2
+    n_cpu = 4
     _log(f"[5 bundle] batch={b}")
     p = pb.bundle_problems(b)
     o = p["bg"].shape[1]
@@ -588,6 +601,8 @@ def bench_bundle():
         "unit": "rigs/sec",
         "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "parity_handeye_rot_deg": float(max(rots)),
         "parity_handeye_trans_m": float(max(tras)),
         "parity_final_cost_rel": cost_rel,
@@ -630,6 +645,8 @@ def bench_linescan():
         "unit": "rigs/sec",
         "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "parity_max_abs_dplane": parity,
         "gt_plane_angle_err_deg_max": float(ang_err.max()),
     }
@@ -695,7 +712,7 @@ def _bench_pipeline_impl(rigs, metric):
         g_err_rot.append(rot_err_deg(g, base["g_gt"][r]))
         g_err_tra.append(float(np.abs(g[:3, 3] - base["g_gt"][r][:3, 3]).max()))
 
-    n_cpu = 2
+    n_cpu = 4
     x0_he = [base["g_gt"][i] @ pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002]) for i in range(n_cpu)]
 
     def cpu_rig(i):
@@ -718,6 +735,8 @@ def _bench_pipeline_impl(rigs, metric):
         "unit": "rigs/sec",
         "vs_baseline": round((rigs / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "handeye_rot_err_deg_max": float(max(g_err_rot)),
         "handeye_trans_err_m_max": float(max(g_err_tra)),
     }
@@ -775,6 +794,8 @@ def bench_linescan_ransac():
         "unit": "rigs/sec",
         "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
         "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
+        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
+        "cpu_problems": n_cpu,
         "all_ok": bool(ok.all()),
         "parity_max_abs_dplane": parity,
         "gt_plane_angle_err_deg_max": float(ang_err.max()),

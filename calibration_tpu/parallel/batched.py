@@ -247,14 +247,18 @@ def _intrinsics_batch_phased_jit(
 
 
 # phase-schedule defaults, measured per model on the B=256 bench
-# distributions (benchmarks/exp_scheim_iters): pinhole linearizations
+# distributions (benchmarks/exp_scheim_mu.py): pinhole linearizations
 # min/med/p90/max = 4/5/7/8 -> cap at ~p75 leaves ~10-25% of lanes for a
 # quarter-width continuation with 2-4x safety margin; Scheimpflug with free
 # tangential coefficients wanders the tau~p1/p2 valley for 10-58
 # linearizations (median ~21) -> cap 30 strands only the far tail; with
 # p1/p2 fixed (the reference's own Scheimpflug configuration,
 # scheimpflug_test.cpp:17-18) the spread is 11-15 -> cap 12, half-width
-# continuation.
+# continuation. The ~12-linearization Scheimpflug floor is structural (the
+# tau/K/pose coupling), not seed- or damping-limited: the exp_scheim_mu.py
+# sweep measured mu-init 1e-4/1e-6/1e-8 at med 15/12/12 and a
+# matched-sign tau seed (0.02, -0.02) vs zero at an identical 12/15/20
+# med/p90/max — same pattern as the pinhole pose/distortion seed no-wins.
 TWO_PHASE_CAP_A = int(os.environ.get("CALIB_TWO_PHASE_CAP", "6"))
 TWO_PHASE_MIN_BATCH = 64
 # full-width caps for the stereo-extrinsics / bundle phased paths (tuned on
