@@ -30,5 +30,6 @@ def report_to_json(report):
         stage_json = dict(stage.summary)
         stage_json["name"] = stage.name
         stage_json["success"] = stage.success
+        stage_json["duration_s"] = round(stage.duration_s, 4)
         stages.append(stage_json)
     return {"success": report.success, "stages": stages}
