@@ -200,30 +200,76 @@ class Parser {
     return false;
   }
 
+  // Dual-key payloads (io/json.h writes BOTH field_N and the member name
+  // for every field) must not be double-ingested: a named key always wins
+  // and re-parses its slot (list slots are cleared first); a positional
+  // field_N key is skipped once its named twin has been seen. ``named`` is
+  // a per-object bitmask of slots already filled from named keys.
+  //
+  // slot(): -1 = unknown key (structurally skipped), otherwise the field
+  // index in the aggregate layout; *is_named reports which key form matched.
+  static int point_slot(const std::string& key, bool* is_named) {
+    static const char* names[] = {"x", "y", "id", "local_x", "local_y", "local_z"};
+    return find_slot(key, names, 6, is_named);
+  }
+
+  static int image_slot(const std::string& key, bool* is_named) {
+    static const char* names[] = {"file", "points"};
+    return find_slot(key, names, 2, is_named);
+  }
+
+  static int detections_slot(const std::string& key, bool* is_named) {
+    static const char* names[] = {
+        "image_directory", "feature_type", "algo_version", "params_hash",
+        "sensor_id",       "tags",         "metadata",     "source_file",
+        "images"};
+    return find_slot(key, names, 9, is_named);
+  }
+
+  static int find_slot(const std::string& key, const char* const* names,
+                       int n, bool* is_named) {
+    for (int i = 0; i < n; ++i) {
+      if (key == names[i]) {
+        *is_named = true;
+        return i;
+      }
+    }
+    if (key.size() > 6 && key.compare(0, 6, "field_") == 0) {
+      int idx = std::atoi(key.c_str() + 6);
+      if (idx >= 0 && idx < n) {
+        *is_named = false;
+        return idx;
+      }
+    }
+    *is_named = false;
+    return -1;
+  }
+
   bool parse_point(Point* pt) {
     if (!consume('{')) return fail("expected point object");
     if (consume('}')) return true;
+    unsigned named = 0;
     while (true) {
       std::string key;
       if (!parse_string(&key) || !consume(':')) return false;
-      // accept both named and legacy positional field_N keys (io/json.h
-      // aggregate layout: x, y, id, local_x, local_y, local_z)
-      if (key == "x" || key == "field_0") {
-        if (!parse_number(&pt->x)) return false;
-      } else if (key == "y" || key == "field_1") {
-        if (!parse_number(&pt->y)) return false;
-      } else if (key == "id" || key == "field_2") {
-        double d;
-        if (!parse_number(&d)) return false;
-        pt->id = static_cast<long long>(d);
-      } else if (key == "local_x" || key == "field_3") {
-        if (!parse_number(&pt->local_x)) return false;
-      } else if (key == "local_y" || key == "field_4") {
-        if (!parse_number(&pt->local_y)) return false;
-      } else if (key == "local_z" || key == "field_5") {
-        if (!parse_number(&pt->local_z)) return false;
-      } else {
+      bool is_named = false;
+      int slot = point_slot(key, &is_named);
+      if (slot < 0 || (!is_named && (named & (1u << slot)))) {
         if (!skip_value()) return false;
+      } else {
+        if (is_named) named |= 1u << slot;
+        double d;
+        switch (slot) {
+          case 0: if (!parse_number(&pt->x)) return false; break;
+          case 1: if (!parse_number(&pt->y)) return false; break;
+          case 2:
+            if (!parse_number(&d)) return false;
+            pt->id = static_cast<long long>(d);
+            break;
+          case 3: if (!parse_number(&pt->local_x)) return false; break;
+          case 4: if (!parse_number(&pt->local_y)) return false; break;
+          case 5: if (!parse_number(&pt->local_z)) return false; break;
+        }
       }
       if (consume(',')) continue;
       return consume('}') || fail("expected } in point");
@@ -233,24 +279,31 @@ class Parser {
   bool parse_image(Image* img) {
     if (!consume('{')) return fail("expected image object");
     if (consume('}')) return true;
+    unsigned named = 0;
     while (true) {
       std::string key;
       if (!parse_string(&key) || !consume(':')) return false;
-      if (key == "file" || key == "field_0") {
-        if (!parse_string(&img->file)) return false;
-      } else if (key == "points" || key == "field_1") {
-        if (!consume('[')) return fail("expected points array");
-        if (!consume(']')) {
-          while (true) {
-            img->points.emplace_back();
-            if (!parse_point(&img->points.back())) return false;
-            if (consume(',')) continue;
-            if (consume(']')) break;
-            return fail("expected ] in points");
+      bool is_named = false;
+      int slot = image_slot(key, &is_named);
+      if (slot < 0 || (!is_named && (named & (1u << slot)))) {
+        if (!skip_value()) return false;
+      } else {
+        if (is_named) named |= 1u << slot;
+        if (slot == 0) {
+          if (!parse_string(&img->file)) return false;
+        } else {  // points
+          img->points.clear();
+          if (!consume('[')) return fail("expected points array");
+          if (!consume(']')) {
+            while (true) {
+              img->points.emplace_back();
+              if (!parse_point(&img->points.back())) return false;
+              if (consume(',')) continue;
+              if (consume(']')) break;
+              return fail("expected ] in points");
+            }
           }
         }
-      } else {
-        if (!skip_value()) return false;
       }
       if (consume(',')) continue;
       return consume('}') || fail("expected } in image");
@@ -264,52 +317,65 @@ class Parser {
       det->header_json += "}";
       return true;
     }
+    // aggregate layout (dataset.h:29-39): image_directory, feature_type,
+    // algo_version, params_hash, sensor_id, tags, metadata, source_file,
+    // images. metadata/source_file (slots 6/7) are not materialised here —
+    // they ride through header_json verbatim and the Python reflection
+    // layer (io/jsonio.from_jsonable) resolves their named/positional keys.
+    unsigned named = 0;
     while (true) {
       skip_ws();
       const char* pair_start = p_;  // at the opening quote of the key
       std::string key;
       if (!parse_string(&key) || !consume(':')) return false;
-      if (key == "sensor_id" || key == "field_4") {
-        if (!parse_string(&det->sensor_id)) return false;
-      } else if (key == "feature_type" || key == "field_1") {
-        if (!parse_string(&det->feature_type)) return false;
-      } else if (key == "image_directory" || key == "field_0") {
-        if (!parse_string(&det->image_directory)) return false;
-      } else if (key == "algo_version" || key == "field_2") {
-        if (!parse_string(&det->algo_version)) return false;
-      } else if (key == "params_hash" || key == "field_3") {
-        if (!parse_string(&det->params_hash)) return false;
-      } else if (key == "tags" || key == "field_5") {
-        if (peek('[')) {
-          consume('[');
-          if (!consume(']')) {
-            while (true) {
-              std::string tag;
-              if (!parse_string(&tag)) return false;
-              det->tags.push_back(std::move(tag));
-              if (consume(',')) continue;
-              if (consume(']')) break;
-              return fail("expected ] in tags");
-            }
-          }
-        } else if (!skip_value()) {
-          return false;
-        }
-      } else if (key == "images" || key == "field_8") {
-        if (!consume('[')) return fail("expected images array");
-        if (!consume(']')) {
-          while (true) {
-            det->images.emplace_back();
-            if (!parse_image(&det->images.back())) return false;
-            if (consume(',')) continue;
-            if (consume(']')) break;
-            return fail("expected ] in images");
-          }
-        }
-      } else {
+      bool is_named = false;
+      int slot = detections_slot(key, &is_named);
+      bool is_images = (slot == 8);
+      if (slot < 0 || slot == 6 || slot == 7 ||
+          (!is_named && (named & (1u << slot)))) {
         if (!skip_value()) return false;
+      } else {
+        if (is_named) named |= 1u << slot;
+        switch (slot) {
+          case 0: if (!parse_string(&det->image_directory)) return false; break;
+          case 1: if (!parse_string(&det->feature_type)) return false; break;
+          case 2: if (!parse_string(&det->algo_version)) return false; break;
+          case 3: if (!parse_string(&det->params_hash)) return false; break;
+          case 4: if (!parse_string(&det->sensor_id)) return false; break;
+          case 5:
+            if (peek('[')) {
+              det->tags.clear();
+              consume('[');
+              if (!consume(']')) {
+                while (true) {
+                  std::string tag;
+                  if (!parse_string(&tag)) return false;
+                  det->tags.push_back(std::move(tag));
+                  if (consume(',')) continue;
+                  if (consume(']')) break;
+                  return fail("expected ] in tags");
+                }
+              }
+            } else if (!skip_value()) {
+              return false;
+            }
+            break;
+          case 8:
+            det->images.clear();
+            if (!consume('[')) return fail("expected images array");
+            if (!consume(']')) {
+              while (true) {
+                det->images.emplace_back();
+                if (!parse_image(&det->images.back())) return false;
+                if (consume(',')) continue;
+                if (consume(']')) break;
+                return fail("expected ] in images");
+              }
+            }
+            break;
+        }
       }
-      if (key != "images" && key != "field_8") {
+      if (!is_images) {
         if (det->header_json.size() > 1) det->header_json += ",";
         det->header_json.append(pair_start, static_cast<size_t>(p_ - pair_start));
       }

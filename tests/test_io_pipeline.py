@@ -226,3 +226,80 @@ def test_validate_dataset_schema(tmp_path):
     errs = validate_dataset(bad)
     assert any("sensor_id" in e for e in errs)
     assert any("images" in e for e in errs)
+
+
+def test_validate_and_load_fully_positional_payload(tmp_path):
+    """A payload written with ONLY legacy positional field_N keys — every
+    level: detections header (all 9 fields incl. field_6 metadata and
+    field_7 source_file), images, points (reference io/json.h:22-149 emits
+    all indices) — must (a) pass schema validation and (b) load identically
+    to its named-key twin through the real loader (round-4 verdict items
+    4/7: the old validator promotion map skipped field_6/field_7)."""
+    import json
+
+    from calibration_tpu.io.validate import validate_dataset
+    from calibration_tpu.pipeline.loaders import JsonPlanarDatasetLoader
+
+    named = {
+        "image_directory": "dir",
+        "feature_type": "synthetic",
+        "algo_version": "v3",
+        "params_hash": "abc123",
+        "sensor_id": "cam7",
+        "tags": ["synthetic", "recorded"],
+        "metadata": {"detector": {"name": "synthetic"}},
+        "source_file": "orig.json",
+        "images": [
+            {
+                "file": f"img_{i}.png",
+                "points": [
+                    {"x": 1.0 * i + j, "y": 2.0 + j, "id": j,
+                     "local_x": 0.1 * j, "local_y": 0.2 * j, "local_z": 0.0}
+                    for j in range(5 + i)
+                ],
+            }
+            for i in range(3)
+        ],
+    }
+    pt_keys = ["x", "y", "id", "local_x", "local_y", "local_z"]
+    det_keys = ["image_directory", "feature_type", "algo_version",
+                "params_hash", "sensor_id", "tags", "metadata",
+                "source_file", "images"]
+    positional = {
+        f"field_{i}": named[k] for i, k in enumerate(det_keys)
+    }
+    positional["field_8"] = [
+        {"field_0": im["file"],
+         "field_1": [
+             {f"field_{pi}": p[pk] for pi, pk in enumerate(pt_keys)}
+             for p in im["points"]
+         ]}
+        for im in named["images"]
+    ]
+
+    assert validate_dataset(named) == []
+    assert validate_dataset(positional) == []
+    # and genuinely-bad positional payloads still fail
+    bad = dict(positional)
+    bad.pop("field_4")  # sensor_id
+    assert any("sensor_id" in e for e in validate_dataset(bad))
+
+    def load(payload):
+        path = tmp_path / f"{id(payload)}.json"
+        path.write_text(json.dumps(payload))
+        loader = JsonPlanarDatasetLoader()
+        loader.add_entry(str(path), "cam7")
+        return loader.load().planar_cameras[0]
+
+    d_named, d_pos = load(named), load(positional)
+    for attr in ("image_directory", "feature_type", "algo_version",
+                 "params_hash", "sensor_id", "tags", "metadata"):
+        assert getattr(d_pos, attr) == getattr(d_named, attr), attr
+    # source_file is overwritten by the loader with the on-disk path
+    # (reference loaders.cpp records the source), so both end with .json
+    assert d_pos.source_file.endswith(".json")
+    pn, pp = d_named.packed(), d_pos.packed()
+    np.testing.assert_array_equal(pp[0], pn[0])
+    np.testing.assert_array_equal(pp[1], pn[1])
+    np.testing.assert_array_equal(pp[2], pn[2])
+    assert pp[3] == pn[3]

@@ -234,3 +234,49 @@ def test_loader_lazy_raw_json(tmp_path):
     det = ds.planar_cameras[0]
     assert det.sensor_id == "cam0"
     assert det.images[0].num_points() == 4
+
+
+def test_dual_key_payload_no_duplication():
+    """io/json.h writes BOTH field_N and named keys for every aggregate
+    field (json.h:48-149); a dual-key payload must parse each field exactly
+    once — named key wins — not append images/points/tags twice (round-5
+    fix: the codec used to ingest field_8 AND images)."""
+    from calibration_tpu.io import jsonio
+    from calibration_tpu.pipeline.dataset import PlanarDetections
+
+    det = jsonio.from_jsonable(_payload(3, 5), PlanarDetections)
+    dual = json.loads(jsonio.dumps(det))  # writer emits both key forms
+    assert "field_8" in dual and "images" in dual
+
+    p = load_detections_packed(json.dumps(dual))
+    assert len(p.files) == 3
+    assert list(p.mask.sum(axis=1)) == [5, 6, 7]
+    assert p.tags == ["synthetic"]
+
+    # reflection path agrees with the named-only parse
+    obj_named, uv_named, mask_named, files_named = det.packed()
+    np.testing.assert_array_equal(p.obj_xy, obj_named)
+    np.testing.assert_array_equal(p.img_uv, uv_named)
+    assert p.files == files_named
+
+
+def test_named_key_wins_over_positional():
+    """Named-first read order (json.h from_json reads the member name before
+    the positional twin) regardless of key order in the file."""
+    for payload in (
+        {"field_4": "positional", "sensor_id": "named", "images": []},
+        {"sensor_id": "named", "field_4": "positional", "images": []},
+    ):
+        p = load_detections_packed(json.dumps(payload))
+        assert p.sensor_id == "named"
+    # lists too: named points replace positional ones, in either order
+    img_np = {"field_1": [{"x": 1.0, "y": 1.0}],
+              "points": [{"x": 9.0, "y": 9.0}, {"x": 8.0, "y": 8.0}],
+              "file": "a.png"}
+    img_pn = {"points": [{"x": 9.0, "y": 9.0}, {"x": 8.0, "y": 8.0}],
+              "field_1": [{"x": 1.0, "y": 1.0}],
+              "file": "a.png"}
+    for img in (img_np, img_pn):
+        p = load_detections_packed(json.dumps({"sensor_id": "c", "images": [img]}))
+        assert int(p.mask.sum()) == 2
+        assert p.img_uv[0, 0, 0] == 9.0
