@@ -273,7 +273,15 @@ def main():
         obj, uv, make=lambda k: make_problems(batch, seed=repeat_seed(7, k))[:2]
     )
 
-    vs_baseline = (throughput / cpu["solves_per_sec"]) if cpu else 1.0
+    # vs_baseline divides by max(today's floor, pinned floor) so the
+    # multiplier can only improve when the TPU number improves (BASELINE.json
+    # "floors" holds the strongest floor ever measured; round-5 verdict 1)
+    from bench_all import PINNED_FLOORS
+
+    pin = PINNED_FLOORS.get("batched_planar_intrinsics_solves_per_sec", {})
+    pinned = float(pin.get("cpu_solves_per_sec") or 0.0)
+    floor = max(cpu["solves_per_sec"], pinned) if cpu else pinned
+    vs_baseline = (throughput / floor) if floor > 0 else 1.0
 
     fx_err = float(np.mean(np.abs(intr[:, 0] - intr_gt[0])))
     print(f"[bench] mean |fx err|: {fx_err:.4f}px-equivalent", file=sys.stderr)
@@ -290,6 +298,8 @@ def main():
         record["cpu_solves_per_sec_median"] = round(cpu["solves_per_sec_median"], 3)
         record["cpu_problems"] = cpu["problems"]
         record["cpu_passes_sec"] = cpu["passes_sec"]
+    record["cpu_floor_pinned"] = pinned
+    record["cpu_floor_used"] = round(floor, 3)
     print(json.dumps(record))
 
 

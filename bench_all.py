@@ -105,8 +105,8 @@ def timed_cpu(solve_one, n, passes=4):
     1-vCPU host can be inflated several-x by transient load (observed 2.97s
     vs 0.39s for identical solves), which silently *overstates* vs_baseline;
     the min over repeated passes is the honest sequential capability.
-    Per-pass times are kept on the function (``timed_cpu.last_passes``) so
-    rows can publish the full list (auditable-floor rule, VERDICT r3 #2)."""
+    Returns (results, best_time, per_pass_times) — the pass list lands in
+    every row (auditable-floor rule, VERDICT r3 #2 / ADVICE r4)."""
     results, times = None, []
     for _ in range(passes):
         t0 = time.time()
@@ -114,8 +114,55 @@ def timed_cpu(solve_one, n, passes=4):
         times.append(time.time() - t0)
         if results is None:
             results = out
-    timed_cpu.last_passes = [round(t, 4) for t in times]
-    return results, min(times)
+    return results, min(times), [round(t, 4) for t in times]
+
+
+# ---------------------------------------------------------------------------
+# Pinned CPU floors (round-5 verdict item 1). The shared 1-vCPU host's floor
+# drifts 2-2.5x between rounds; a multiplier computed against today's floor
+# alone can "improve" from floor shrinkage with zero TPU progress. Every row
+# therefore divides by max(floor_today, floor_pinned) where the pin is the
+# strongest floor ever measured for that config (BASELINE.json "floors"),
+# and main() ratchets the pin upward when today's measurement is stronger.
+# ---------------------------------------------------------------------------
+
+def _load_pinned_floors():
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")) as f:
+            return json.load(f).get("floors", {})
+    except (OSError, ValueError):
+        return {}
+
+
+PINNED_FLOORS = _load_pinned_floors()
+_FLOOR_RATCHET: dict = {}
+
+
+def floor_fields(metric, tpu_value, cpu_today, passes, n_cpu):
+    """Audit + multiplier fields for a CPU-floored row: today's measured
+    floor with its pass list, the pinned floor with provenance, and
+    vs_baseline against the stronger of the two."""
+    pin = PINNED_FLOORS.get(metric, {})
+    pinned = float(pin.get("cpu_solves_per_sec") or 0.0)
+    floor = max(cpu_today, pinned)
+    if cpu_today > pinned:
+        _FLOOR_RATCHET[metric] = {
+            "cpu_solves_per_sec": round(cpu_today, 3),
+            "source": "bench_all.py measurement (auto-ratchet)",
+            "date": time.strftime("%Y-%m-%d"),
+            "cpu_problems": n_cpu,
+            "cpu_pass_times_s": passes,
+            "note": "measured floor exceeded the previous pin",
+        }
+    return {
+        "vs_baseline": round(tpu_value / floor, 2),
+        "cpu_solves_per_sec": round(cpu_today, 3),
+        "cpu_pass_times_s": passes,
+        "cpu_problems": n_cpu,
+        "cpu_floor_pinned": pinned,
+        "cpu_floor_used": round(floor, 3),
+        "cpu_floor_source": pin.get("source", "unpinned (this run's measurement)"),
+    }
 
 
 def rot_err_deg(a, b):
@@ -138,25 +185,25 @@ def bench_homography():
     hs, src, dst = pb.homography_problems(b)
     opts = OptimOptions(max_iterations=50, compute_covariance=False)
 
+    # CPU floor FIRST on an idle host (bench.py methodology: measuring it
+    # after the TPU section exposes it to compile-service aftershocks and
+    # understates the floor ~2x — the r4 bench.py-vs-bench_all gap)
+    h0 = np.asarray(H.estimate_homography_dlt(jnp.asarray(src[:n_cpu]), jnp.asarray(dst[:n_cpu])))
+    cpu_res, cpu_dt, passes = timed_cpu(
+        lambda i: cb.solve_homography_cpu(src[i], dst[i], h0[i])[1], n_cpu
+    )
+
     fn = lambda s, d: batched.homography_batch(s, d, options=opts)
     (out, hm, _, _), dt = timed_batch(
         fn, (src, dst), lambda k: pb.homography_problems(b, seed=repeat_seed(11, k))[1:3]
     )
     hm = np.asarray(hm)
-
-    h0 = np.asarray(H.estimate_homography_dlt(jnp.asarray(src[:n_cpu]), jnp.asarray(dst[:n_cpu])))
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_homography_cpu(src[i], dst[i], h0[i])[1], n_cpu
-    )
     parity = max(float(np.abs(hm[i] - cpu_res[i]).max()) for i in range(n_cpu))
     return {
         "metric": "homography_dlt_lm_solves_per_sec",
         "value": round(b / dt, 1),
         "unit": "solves/sec",
-        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields("homography_dlt_lm_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "parity_max_abs_dH": parity,
     }
 
@@ -167,6 +214,13 @@ def bench_intrinsics():
     b = int(os.environ.get("BENCH_BATCH", "256"))
     _log(f"[2 intrinsics] batch={b}")
     obj, uv, poses, intr_gt = headline.make_problems(b)
+
+    # ONE shared floor recipe with bench.py (8 problems x 6 passes, CPU
+    # first on an idle host) — resolves the r4 harness disagreement where
+    # bench.py said 24.24/s and this file said 12.38/s for the same class
+    cpu = headline.cpu_baseline_throughput(obj, uv, poses, intr_gt)
+    cpu_tp = cpu["solves_per_sec"]
+
     throughput, rms, intr = headline.tpu_throughput(
         obj, uv, make=lambda k: headline.make_problems(b, seed=repeat_seed(7, k))[:2]
     )
@@ -178,10 +232,9 @@ def bench_intrinsics():
         )
         for i in range(n_cpu)
     ]
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_intrinsics_cpu(obj[i], uv[i], x0s[i]), n_cpu
+    cpu_res, _, _ = timed_cpu(
+        lambda i: cb.solve_intrinsics_cpu(obj[i], uv[i], x0s[i]), n_cpu, passes=1
     )
-    cpu_tp = n_cpu / cpu_dt
     # parity: TPU and CPU solve the same problems; both land in the same
     # least-squares minimum (fx is ambiguity-limited, so compare solutions
     # to each other, not to GT)
@@ -219,10 +272,10 @@ def bench_intrinsics():
         "metric": "batched_planar_intrinsics_solves_per_sec",
         "value": round(throughput, 3),
         "unit": "solves/sec",
-        "vs_baseline": round(throughput / cpu_tp, 2),
-        "cpu_solves_per_sec": round(cpu_tp, 2),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields(
+            "batched_planar_intrinsics_solves_per_sec", throughput, cpu_tp,
+            cpu["passes_sec"], cpu["problems"],
+        ),
         "parity_max_abs_dK_px": float(max(deltas)),
         "parity_final_cost_rel": cost_rel,
         "parity_cost_ok": bool(cost_rel <= 1e-7),
@@ -429,19 +482,20 @@ def bench_extrinsics():
     p = pb.stereo_problems(b)
     opts = ExtrinsicOptions(core=OptimOptions(max_iterations=50, compute_covariance=False))
 
+    # CPU floor first (idle host — see bench_homography note)
+    cpu_res, cpu_dt, passes = timed_cpu(
+        lambda i: cb.solve_extrinsics_cpu(
+            p["obj"][i], p["uv"][i], p["intr0"][i], p["c0"][i], p["r0"][i]
+        ),
+        n_cpu,
+    )
+
     fn = lambda o, u, i0, c0, r0: batched.extrinsics_batch(o, u, i0, c0, r0, opts=opts)
     unpack = lambda q: (q["obj"], q["uv"], q["intr0"], q["c0"], q["r0"])
     (out, intr, c_se3_r, r_se3_t, _, _), dt = timed_batch(
         fn, unpack(p), lambda k: unpack(pb.stereo_problems(b, seed=repeat_seed(13, k)))
     )
     c_se3_r = np.asarray(c_se3_r)
-
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_extrinsics_cpu(
-            p["obj"][i], p["uv"][i], p["intr0"][i], p["c0"][i], p["r0"][i]
-        ),
-        n_cpu,
-    )
     rots, tras = [], []
     for i in range(n_cpu):
         m = np.eye(4)
@@ -481,10 +535,7 @@ def bench_extrinsics():
         "metric": "stereo_extrinsics_solves_per_sec",
         "value": round(b / dt, 2),
         "unit": "rigs/sec",
-        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields("stereo_extrinsics_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "parity_relpose_rot_deg": float(max(rots)),
         "parity_relpose_trans_m": float(max(tras)),
         "parity_final_cost_rel": cost_rel,
@@ -502,26 +553,23 @@ def bench_handeye():
     g_gt, bg, ct = pb.handeye_problems(b)
     opts = OptimOptions(max_iterations=50, compute_covariance=False)
 
+    dp = pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002])
+    cpu_res, cpu_dt, passes = timed_cpu(
+        lambda i: cb.solve_handeye_cpu(bg[i], ct[i], g_gt[i] @ dp)[1], n_cpu
+    )
+
     fn = lambda a, c: batched.handeye_batch(a, c, options=opts)
     (out, pose, _, _), dt = timed_batch(
         fn, (bg, ct), lambda k: pb.handeye_problems(b, seed=repeat_seed(17, k))[1:3]
     )
     pose = np.asarray(pose)
-
-    dp = pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002])
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_handeye_cpu(bg[i], ct[i], g_gt[i] @ dp)[1], n_cpu
-    )
     rots = [rot_err_deg(pose[i], cpu_res[i]) for i in range(n_cpu)]
     tras = [float(np.abs(pose[i, :3, 3] - cpu_res[i][:3, 3]).max()) for i in range(n_cpu)]
     return {
         "metric": "handeye_axxb_solves_per_sec",
         "value": round(b / dt, 1),
         "unit": "rigs/sec",
-        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields("handeye_axxb_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "parity_rot_deg": float(max(rots)),
         "parity_trans_m": float(max(tras)),
     }
@@ -539,6 +587,13 @@ def bench_bundle():
     opts = BundleOptions(core=OptimOptions(max_iterations=50, compute_covariance=False))
     cam_idx = np.zeros((b, o), int)
 
+    cpu_res, cpu_dt, passes = timed_cpu(
+        lambda i: cb.solve_bundle_cpu(
+            p["obj"][i], p["uv"][i], p["bg"][i], p["intr"], p["g0"][i], p["b0"][i]
+        ),
+        n_cpu,
+    )
+
     fn = lambda obj, uv, bg, intrs, g0, b0: batched.bundle_batch(
         obj, uv, bg, cam_idx, intrs, g0, b0, opts=opts
     )
@@ -550,13 +605,6 @@ def bench_bundle():
         fn, unpack(p), lambda k: unpack(pb.bundle_problems(b, seed=repeat_seed(19, k)))
     )
     g_se3_c = np.asarray(g_se3_c)
-
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_bundle_cpu(
-            p["obj"][i], p["uv"][i], p["bg"][i], p["intr"], p["g0"][i], p["b0"][i]
-        ),
-        n_cpu,
-    )
     rots, tras = [], []
     for i in range(n_cpu):
         m = np.eye(4)
@@ -599,10 +647,7 @@ def bench_bundle():
         "metric": "bundle_handeye_target_solves_per_sec",
         "value": round(b / dt, 2),
         "unit": "rigs/sec",
-        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields("bundle_handeye_target_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "parity_handeye_rot_deg": float(max(rots)),
         "parity_handeye_trans_m": float(max(tras)),
         "parity_final_cost_rel": cost_rel,
@@ -618,17 +663,17 @@ def bench_linescan():
     _log(f"[5L line-scan] batch={b}")
     camera, obj, tgt_uv, laser_uv, plane_gt = pb.linescan_problems(b)
 
+    cpu_res, cpu_dt, passes = timed_cpu(
+        lambda i: cb.solve_linescan_cpu(camera[i], obj[i], tgt_uv[i], laser_uv[i])[0],
+        n_cpu,
+    )
+
     fn = lambda c, o, tu, lu: batched.linescan_batch(c, o, tu, lu)
     res, dt = timed_batch(
         fn, (camera, obj, tgt_uv, laser_uv),
         lambda k: pb.linescan_problems(b, seed=repeat_seed(23, k))[:4],
     )
     plane = np.asarray(res.plane)
-
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_linescan_cpu(camera[i], obj[i], tgt_uv[i], laser_uv[i])[0],
-        n_cpu,
-    )
     # parity: TPU and CPU run the same closed-form pipeline on the same rigs
     # (plane sign is canonicalized d >= 0; the SVD null vector's sign is
     # arbitrary)
@@ -643,10 +688,7 @@ def bench_linescan():
         "metric": "linescan_laser_plane_solves_per_sec",
         "value": round(b / dt, 1),
         "unit": "rigs/sec",
-        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields("linescan_laser_plane_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "parity_max_abs_dplane": parity,
         "gt_plane_angle_err_deg_max": float(ang_err.max()),
     }
@@ -689,6 +731,26 @@ def _bench_pipeline_impl(rigs, metric):
         return pf.make_fleet(d, rigs=rigs, seed=seed)
 
     base = build(29)
+
+    # CPU floor first (idle host)
+    n_cpu = 4
+    x0_he = [base["g_gt"][i] @ pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002]) for i in range(n_cpu)]
+
+    def cpu_rig(i):
+        x0 = cb.intrinsics_x0(
+            base["intr"] + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0]),
+            base["ct_gt"][i],
+        )
+        cb.solve_intrinsics_cpu(base["obj"][i], base["uv"][i], x0)
+        _, he = cb.solve_handeye_cpu(base["bg"][i], base["ct_gt"][i], x0_he[i])
+        cb.solve_bundle_cpu(
+            base["obj"][i], base["uv"][i], base["bg"][i], base["intr"],
+            he, base["bt_gt"][i],
+        )
+        return he
+
+    _, cpu_dt, passes = timed_cpu(cpu_rig, n_cpu)
+
     t0 = time.time()
     rc, art_path = pf.run_pipeline(base["input_path"])
     _log(f"  compile+first: {time.time() - t0:.1f}s (rc={rc})")
@@ -712,31 +774,11 @@ def _bench_pipeline_impl(rigs, metric):
         g_err_rot.append(rot_err_deg(g, base["g_gt"][r]))
         g_err_tra.append(float(np.abs(g[:3, 3] - base["g_gt"][r][:3, 3]).max()))
 
-    n_cpu = 4
-    x0_he = [base["g_gt"][i] @ pb.pose([0.01, -0.008, 0.012], [0.004, -0.003, 0.002]) for i in range(n_cpu)]
-
-    def cpu_rig(i):
-        x0 = cb.intrinsics_x0(
-            base["intr"] + np.array([8.0, -6.0, 4.0, -3.0, 0, 0, 0, 0, 0, 0]),
-            base["ct_gt"][i],
-        )
-        cb.solve_intrinsics_cpu(base["obj"][i], base["uv"][i], x0)
-        _, he = cb.solve_handeye_cpu(base["bg"][i], base["ct_gt"][i], x0_he[i])
-        cb.solve_bundle_cpu(
-            base["obj"][i], base["uv"][i], base["bg"][i], base["intr"],
-            he, base["bt_gt"][i],
-        )
-        return he
-
-    _, cpu_dt = timed_cpu(cpu_rig, n_cpu)
     return {
         "metric": metric,
         "value": round(rigs / dt, 2),
         "unit": "rigs/sec",
-        "vs_baseline": round((rigs / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 3),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields(metric, rigs / dt, n_cpu / cpu_dt, passes, n_cpu),
         "handeye_rot_err_deg_max": float(max(g_err_rot)),
         "handeye_trans_err_m_max": float(max(g_err_tra)),
     }
@@ -766,6 +808,14 @@ def bench_linescan_ransac():
     camera, obj, tgt_uv, laser_uv, plane_gt = problems(31)
     opts = RansacOptions(max_iters=256, thresh=0.004, min_inliers=20)
 
+    cpu_res, cpu_dt, passes = timed_cpu(
+        lambda i: cb.solve_linescan_ransac_cpu(
+            camera[i], obj[i], tgt_uv[i], laser_uv[i],
+            thresh=0.004, max_iters=256, seed=1234567,
+        )[0],
+        n_cpu,
+    )
+
     fn = lambda c, o, tu, lu: batched.linescan_ransac_batch(c, o, tu, lu, options=opts)
     res, dt = timed_batch(
         fn, (camera, obj, tgt_uv, laser_uv),
@@ -773,14 +823,6 @@ def bench_linescan_ransac():
     )
     plane = np.asarray(res.plane)
     ok = np.asarray(res.ok)
-
-    cpu_res, cpu_dt = timed_cpu(
-        lambda i: cb.solve_linescan_ransac_cpu(
-            camera[i], obj[i], tgt_uv[i], laser_uv[i],
-            thresh=0.004, max_iters=256, seed=1234567,
-        )[0],
-        n_cpu,
-    )
     canon = lambda p: p if p[3] >= 0 else -p
     parity = max(
         float(np.abs(canon(plane[i]) - canon(cpu_res[i])).max()) for i in range(n_cpu)
@@ -792,10 +834,7 @@ def bench_linescan_ransac():
         "metric": "linescan_ransac_plane_solves_per_sec",
         "value": round(b / dt, 1),
         "unit": "rigs/sec",
-        "vs_baseline": round((b / dt) / (n_cpu / cpu_dt), 2),
-        "cpu_solves_per_sec": round(n_cpu / cpu_dt, 2),
-        "cpu_pass_times_s": getattr(timed_cpu, "last_passes", None),
-        "cpu_problems": n_cpu,
+        **floor_fields("linescan_ransac_plane_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "all_ok": bool(ok.all()),
         "parity_max_abs_dplane": parity,
         "gt_plane_angle_err_deg_max": float(ang_err.max()),
@@ -906,6 +945,20 @@ def main():
         merged[res["metric"]] = res
     with open("BENCH_ALL.json", "w") as f:
         json.dump(list(merged.values()), f, indent=1)
+    # ratchet pinned floors upward when today's measurement was stronger —
+    # the pin is "the strongest floor ever measured", so it only ever rises
+    if _FLOOR_RATCHET:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+        with open(path) as f:
+            baseline = json.load(f)
+        floors = baseline.setdefault("floors", {})
+        for metric, entry in _FLOOR_RATCHET.items():
+            _log(f"[floors] ratchet {metric}: "
+                 f"{floors.get(metric, {}).get('cpu_solves_per_sec')} -> "
+                 f"{entry['cpu_solves_per_sec']}")
+            floors[metric] = entry
+        with open(path, "w") as f:
+            json.dump(baseline, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -106,12 +106,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     mus = sys.argv[2:] or DEFAULT_MUS
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    base = None
+    # cost-parity anchor: the mu=1e-6 zero-seed arm (the docstring's
+    # baseline), run first explicitly — with DEFAULT_MUS the first sweep arm
+    # would otherwise be mu=1e-4 and every dcost_med_rel would anchor wrong
+    base = run("1e-6", batch, root, None)
     for tau_seed in (None, (0.02, -0.02)):
         for mu in mus:
             r = run(mu, batch, root, tau_seed)
-            if base is None:
-                base = r
             rel = abs(r["cost_med"] - base["cost_med"]) / max(base["cost_med"], 1e-300)
             print(
                 f"mu={mu:>6} tau_seed={tau_seed} lin med/p90/max = "
