@@ -63,6 +63,25 @@ def optimize_homography_device(init_h, obj_xy, img_uv, mask=None, options=OptimO
     return out, params_to_h(out.x), cov, cov_ok
 
 
+def homography_covariance_device(hm, obj_xy, img_uv, mask=None, options=OptimOptions()):
+    """Covariance of the 8 free parameters at a solved homography — the
+    deferred final pass for the phased batch path (same math as the inline
+    covariance in optimize_homography_device; ceresutils.h:69-126
+    semantics, ssr/(m-n) scaling)."""
+    n = obj_xy.shape[-2]
+    if mask is None:
+        mask = jnp.ones((n,), obj_xy.dtype)
+    mask = jnp.asarray(mask, obj_xy.dtype)
+    x = h_to_params(jnp.asarray(hm))
+    block_ids = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
+    res_fn = lambda p: _residual(p, obj_xy, img_uv, mask)
+    m = 2.0 * jnp.maximum(jnp.sum(mask), 1.0)
+    return lm.covariance(
+        res_fn, x, _MANIFOLD, scale_by_variance=True, num_residuals=m,
+        block_ids=block_ids, num_blocks=n, huber_delta=options.huber_delta,
+    )
+
+
 @dataclasses.dataclass
 class OptimizeHomographyResult:
     core: OptimResult

@@ -79,11 +79,59 @@ def _homography_batch_jit(init_h, obj, uv, mask, options):
     return jax.vmap(fn)(init_h, obj, uv, mask)
 
 
-def homography_batch(obj_xy, img_uv, mask=None, options: OptimOptions = OptimOptions(), mesh=None):
+@functools.partial(jax.jit, static_argnames=("options", "schedule"))
+def _homography_batch_phased_jit(init_h, obj, uv, mask, options, schedule):
+    """Phased compacted variant of _homography_batch_jit (see _phased_lm).
+    The 8-param LM tail is tiny: measured B=4096 linearizations cluster at
+    3-5 with a short tail, so the vmapped while_loop's batch-MAX full-width
+    iterations mostly serve a few percent of lanes. Covariance (when
+    requested) runs once at the end over the merged solution."""
+    import dataclasses
+
+    from ..optim.homography import homography_covariance_device
+
+    def solve(iters):
+        op = dataclasses.replace(
+            options, compute_covariance=False, max_iterations=iters
+        )
+        return jax.vmap(
+            lambda o_, u_, m_, h0: optimize_homography_device(h0, o_, u_, m_, options=op)
+        )
+
+    lm_m, (h_m,) = _phased_lm(
+        solve, (obj, uv, mask), (init_h,), schedule, feedback=(0,)
+    )
+    b = obj.shape[0]
+    if options.compute_covariance:
+        cov, cov_ok = jax.vmap(
+            lambda h_, o_, u_, m_: homography_covariance_device(
+                h_, o_, u_, m_, options=options
+            )
+        )(h_m, obj, uv, mask)
+    else:
+        cov = jnp.zeros((b, 8, 8), obj.dtype)
+        cov_ok = jnp.zeros((b,), bool)
+    return lm_m, h_m, cov, cov_ok
+
+
+# full-width cap for the homography phased path (measured distribution at
+# B=4096: see benchmarks/exp_homog_stage.py)
+HOMOG_PHASE_CAP = int(os.environ.get("CALIB_HOMOG_PHASE_CAP", "5"))
+
+
+def homography_batch(
+    obj_xy, img_uv, mask=None, options: OptimOptions = OptimOptions(), mesh=None,
+    two_phase: bool | None = None,
+):
     """DLT + LM refine for a batch of homography problems.
 
     obj_xy/img_uv: (B, N, 2); mask: (B, N). Returns (LMOutput batch, H (B,3,3),
     cov (B,8,8), cov_ok (B,)).
+
+    two_phase: compact unconverged lanes after HOMOG_PHASE_CAP full-width
+    iterations (see _phased_lm); None -> auto (on for B >=
+    TWO_PHASE_MIN_BATCH single-shard runs; covariance is deferred to one
+    final pass over the merged solution, so it composes with two_phase).
     """
     obj_xy = jnp.asarray(obj_xy)
     img_uv = jnp.asarray(img_uv)
@@ -91,6 +139,14 @@ def homography_batch(obj_xy, img_uv, mask=None, options: OptimOptions = OptimOpt
         mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
     init_h = H.estimate_homography_dlt(obj_xy, img_uv, mask)
     args, real_b = _maybe_shard((init_h, obj_xy, img_uv, jnp.asarray(mask, obj_xy.dtype)), mesh)
+    b = obj_xy.shape[0]
+    if two_phase is None:
+        two_phase = mesh is None and b >= TWO_PHASE_MIN_BATCH
+    if two_phase:
+        total = options.max_iterations
+        cap = min(HOMOG_PHASE_CAP, total)
+        schedule = ((cap, None), (max(total - cap, 1), max(b // 8, 1)))
+        return _trim(_homography_batch_phased_jit(*args, options, schedule), real_b)
     return _trim(_homography_batch_jit(*args, options), real_b)
 
 

@@ -295,3 +295,30 @@ def test_bundle_batch_phased_matches_single(monkeypatch):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-6)
     assert np.asarray(cov2).shape == np.asarray(cov1).shape
+
+
+def test_homography_batch_phased_matches_single(monkeypatch):
+    """Phased homography (batched._homography_batch_phased_jit) must land on
+    the same minimum as single-phase, INCLUDING covariance (deferred to a
+    final pass over the merged solution). Cap pinned low so real lanes flow
+    through the compact/merge path."""
+    rng = np.random.default_rng(11)
+    b, n = 8, 24
+    hs = np.tile(np.eye(3), (b, 1, 1))
+    hs[:, 0, 0] += rng.uniform(-0.2, 0.2, b)
+    hs[:, 1, 1] += rng.uniform(-0.2, 0.2, b)
+    hs[:, :2, 2] = rng.uniform(-5, 5, (b, 2))
+    hs[:, 2, :2] = rng.uniform(-1e-4, 1e-4, (b, 2))
+    src = rng.uniform(-2, 2, (b, n, 2))
+    ph = np.concatenate([src, np.ones((b, n, 1))], -1) @ np.swapaxes(hs, 1, 2)
+    dst = ph[..., :2] / ph[..., 2:] + rng.normal(0, 0.05, (b, n, 2))
+
+    opts = OptimOptions(max_iterations=40, compute_covariance=True)
+    lm1, h1, cov1, ok1 = batched.homography_batch(src, dst, options=opts, two_phase=False)
+    monkeypatch.setattr(batched, "HOMOG_PHASE_CAP", 2)
+    lm2, h2, cov2, ok2 = batched.homography_batch(src, dst, options=opts, two_phase=True)
+    assert np.asarray(lm1.success).all() and np.asarray(lm2.success).all()
+    np.testing.assert_allclose(np.asarray(lm2.cost), np.asarray(lm1.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-8)
+    assert np.asarray(ok2).all() == np.asarray(ok1).all()
+    np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), rtol=1e-4, atol=1e-12)
