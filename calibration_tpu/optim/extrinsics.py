@@ -141,6 +141,75 @@ def _view_residual_jac_pinhole(xg, vq_i, vt_i, obj_v, uv_v, mask_v, pc, c):
     return jac.reshape(-1, jac.shape[-1])
 
 
+def _view_residual_jac_grouped(model, xg, vq_i, vt_i, obj_v, uv_v, mask_v, pc, c):
+    """Per-camera-grouped jacfwd Jacobian of ``_view_residual`` — model
+    generic, exact (same retraction chain as the engine's res_local).
+
+    The per-view residual is block-sparse across cameras: camera c's rows
+    have zero derivative w.r.t. every other camera's intrinsics and pose,
+    but the engine's generic jacfwd pushes the full C*(pc+6)+6 tangent
+    through every row (38 tangents for a 2-camera pinhole rig, ~45%
+    structural zeros). Here each camera's rows get their own jacfwd over
+    only [intr_c (pc), omega_c (3), t_c (3), omega_v (3), t_v (3)] —
+    pc+12 = 22 tangents — and the blocks scatter into the dense
+    (C*N*2, C*pc+6C+6) layout with a static block-diagonal einsum (the
+    same scatter `_view_residual_jac_pinhole` uses). Forward-op work in
+    the Jacobian drops by (pc+12)/(C(pc+6)+6) — 1.7x for stereo, more for
+    wider rigs — while staying dot_general-shaped for the MXU (the
+    hand-derived analytic chain is VPU elementwise work and measured
+    slower; parallel/batched.py ANALYTIC_JAC_MAX_BATCH).
+
+    Exactness contract (lm_schur jac_view_fn): identical retractions —
+    euclid add on intrinsics/translations, right-multiplied normalized
+    quaternion updates on both poses. Box bounds (fx, fy >= 0) are
+    inactive at every seed this library produces (DLT seeds, fx ~ 10^2);
+    the pinhole analytic hook ships under the same assumption.
+    """
+    import jax
+
+    intr = xg[: c * pc].reshape(c, pc)
+    cq = xg[c * pc : c * pc + 4 * c].reshape(c, 4)
+    ct = xg[c * pc + 4 * c :].reshape(c, 3)
+    n = obj_v.shape[1]
+
+    def res_cam(delta, intr_c, cq_c, ct_c, obj_c, uv_c, mask_c):
+        intr_n = intr_c + delta[:pc]
+        dqc = se3.exp_quat(delta[pc : pc + 3])
+        cqn = se3.quat_mul(cq_c, dqc)
+        cqn = cqn / jnp.linalg.norm(cqn)
+        ctn = ct_c + delta[pc + 3 : pc + 6]
+        dqv = se3.exp_quat(delta[pc + 6 : pc + 9])
+        vqn = se3.quat_mul(vq_i, dqv)
+        vqn = vqn / jnp.linalg.norm(vqn)
+        vtn = vt_i + delta[pc + 9 :]
+        cam_rot = se3.quat_to_rotmat(cqn)
+        view_rot = se3.quat_to_rotmat(vqn)
+        rot_c = cam_rot @ view_rot
+        tra_c = cam_rot @ vtn + ctn
+        pts = jnp.concatenate(
+            [obj_c, jnp.zeros(obj_c.shape[:-1] + (1,), obj_c.dtype)], -1
+        )
+        pc3 = jnp.einsum("ij,nj->ni", rot_c, pts) + tra_c
+        uv_hat = model.project(intr_n[None, :], pc3)
+        return ((uv_hat - uv_c) * mask_c[..., None]).reshape(-1)
+
+    zero = jnp.zeros((pc + 12,), xg.dtype)
+    jac_c = jax.vmap(
+        lambda i_, q_, t_, o_, u_, m_: jax.jacfwd(res_cam)(zero, i_, q_, t_, o_, u_, m_)
+    )(intr, cq, ct, obj_v, uv_v, mask_v)  # (C, N*2, pc+12)
+
+    eye_c = jnp.eye(c, dtype=xg.dtype)
+    m = 2 * n
+    j_intr = jnp.einsum("cmp,cd->cmdp", jac_c[..., :pc], eye_c).reshape(c, m, c * pc)
+    j_wc = jnp.einsum("cmk,cd->cmdk", jac_c[..., pc : pc + 3], eye_c).reshape(c, m, 3 * c)
+    j_tc = jnp.einsum("cmk,cd->cmdk", jac_c[..., pc + 3 : pc + 6], eye_c).reshape(c, m, 3 * c)
+    jac = jnp.concatenate(
+        [j_intr, j_wc, j_tc, jac_c[..., pc + 6 : pc + 9], jac_c[..., pc + 9 :]],
+        axis=-1,
+    )
+    return jac.reshape(c * m, -1)
+
+
 def _residual(model, x, obj_xy, img_uv, mask, pc, c, v):
     intr, cq, ct, vq, vt = unpack(x, pc, c, v)
     cam_rot = se3.quat_to_rotmat(cq)  # (C, 3, 3)
@@ -166,6 +235,7 @@ def optimize_extrinsics_device(
     opts: ExtrinsicOptions | None = None,
     solver: str = "schur",
     analytic_jac: bool = False,
+    jac_mode: str = "grouped",
 ):
     """Pure-jnp core. obj_xy/img_uv: (V, C, N, 2); init_intrs: (C, pc);
     init_c_se3_r: (C, 4, 4); init_r_se3_t: (V, 4, 4); mask: (V, C, N).
@@ -178,6 +248,13 @@ def optimize_extrinsics_device(
     analytic_jac: opt-in hand-derived per-view Jacobians for the pinhole
     model in the Schur engine (identical to jacfwd; measured slower on
     TPU v5e — see parallel/batched.py); non-pinhole models use jacfwd.
+
+    jac_mode (schur path, when analytic_jac is off): "grouped" (default)
+    computes the per-view Jacobian with one jacfwd PER CAMERA over that
+    camera's pc+12-dim tangent and scatters the blocks (the per-view
+    residual is block-sparse across cameras — the generic full-width
+    jacfwd pushes C(pc+6)+6 tangents with ~45% structural zeros for
+    stereo); "full" keeps the generic full-width jacfwd.
     """
     opts = opts or ExtrinsicOptions()
     v, c, n = obj_xy.shape[0], obj_xy.shape[1], obj_xy.shape[2]
@@ -230,13 +307,18 @@ def optimize_extrinsics_device(
         res_view = lambda xg, q, t, o, u, m: _view_residual(
             model, xg, q, t, o, u, m, pc, c
         )
-        jac_view = (
-            (lambda xg, q, t, o, u, m: _view_residual_jac_pinhole(
+        if analytic_jac and model.name == PINHOLE.name:
+            jac_view = lambda xg, q, t, o, u, m: _view_residual_jac_pinhole(
                 xg, q, t, o, u, m, pc, c
-            ))
-            if (analytic_jac and model.name == PINHOLE.name)
-            else None
-        )
+            )
+        elif jac_mode == "grouped":
+            # per-camera-grouped jacfwd: pc+12 tangents per camera instead
+            # of C(pc+6)+6 through every row (see _view_residual_jac_grouped)
+            jac_view = lambda xg, q, t, o, u, m: _view_residual_jac_grouped(
+                model, xg, q, t, o, u, m, pc, c
+            )
+        else:
+            jac_view = None
         # per-view pose freezing doubles as the target-0 gauge fix
         view_free = jnp.asarray(free[o_vq : o_vq + 4 * v].reshape(v, 4)[:, 0], x0.dtype)
         sout = lm_schur.lm_core_schur(

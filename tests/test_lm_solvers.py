@@ -978,3 +978,44 @@ def test_build_all_pairs_quaternion_equivalence():
     # reweight at 0.5 deg only relaxes (supersets) the 1.0 deg weights
     rw = hel.reweight(pairs, 0.5)
     assert (np.asarray(rw.weight) >= np.asarray(pairs.weight)).all()
+
+
+def test_extrinsics_grouped_jacobian_exact():
+    """The per-camera-grouped jacfwd (optim/extrinsics.py::
+    _view_residual_jac_grouped — pc+12 tangents per camera scattered into
+    the dense layout) must equal the engine's full-width jacfwd of the
+    retracted per-view residual bit-for-bit; it is the default Schur
+    Jacobian path for multi-camera rigs."""
+    import jax
+
+    from calibration_tpu.models.registry import PINHOLE
+    from calibration_tpu.optim import extrinsics as ox
+    from calibration_tpu.optim.manifold import ProductManifold, euclid, quat
+    from calibration_tpu.ops import se3
+
+    rng = np.random.default_rng(3)
+    pc, c, n = 10, 3, 9
+    intr = np.concatenate([[600.0, 610.0, 320.0, 240.0, 0.0], [-0.1, 0.02, 0, 1e-4, -1e-4]])
+    q = np.tile([1.0, 0, 0, 0], (c, 1)) + rng.normal(0, 0.05, (c, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    xg = jnp.asarray(np.concatenate([np.tile(intr, c), q.ravel(), rng.normal(0, 0.1, 3 * c)]))
+    vq = np.array([1.0, 0.02, -0.03, 0.01])
+    vq = jnp.asarray(vq / np.linalg.norm(vq))
+    vt = jnp.asarray([0.01, -0.02, 0.9])
+    obj = jnp.asarray(rng.uniform(-0.2, 0.2, (c, n, 2)))
+    uv = jnp.asarray(rng.uniform(0, 640, (c, n, 2)))
+    mask = jnp.asarray((rng.random((c, n)) > 0.2).astype(float))
+
+    gm = ProductManifold([euclid(pc)] * c + [quat()] * c + [euclid(3)] * c)
+    pg = gm.tangent_dim
+
+    def res_local(delta):
+        xg_new = gm.retract(xg, delta[:pg])
+        dq = se3.exp_quat(delta[pg : pg + 3])
+        qn = se3.quat_mul(vq, dq)
+        qn = qn / jnp.linalg.norm(qn)
+        return ox._view_residual(PINHOLE, xg_new, qn, vt + delta[pg + 3 :], obj, uv, mask, pc, c)
+
+    jac_full = jax.jacfwd(res_local)(jnp.zeros((pg + 6,)))
+    jac_grp = ox._view_residual_jac_grouped(PINHOLE, xg, vq, vt, obj, uv, mask, pc, c)
+    np.testing.assert_array_equal(np.asarray(jac_grp), np.asarray(jac_full))
