@@ -72,34 +72,75 @@ def to_jsonable(value: Any) -> Any:
 
 
 def _coerce(j: Any, tp: Any) -> Any:
+    return _coercer(tp)(j)
+
+
+def _coercer(tp: Any):
+    """JSON-value -> typed-value function for a type expression, built ONCE
+    per distinct type (typing introspection — get_origin/get_args/issubclass
+    — measured as the dominant cost of the old per-call _coerce: ~6% of the
+    64-rig pipeline wall was re-walking the same annotations per value)."""
+    try:
+        return _coercer_cached(tp)
+    except TypeError:  # unhashable type expression — build uncached
+        return _build_coercer(tp)
+
+
+@functools.lru_cache(maxsize=None)
+def _coercer_cached(tp: Any):
+    return _build_coercer(tp)
+
+
+def _identity(j: Any) -> Any:
+    return j
+
+
+def _build_coercer(tp: Any):
     if tp is Any or tp is None:
-        return j
+        return _identity
     if isinstance(tp, str):
-        return j  # unresolved forward ref; accept as-is
+        return _identity  # unresolved forward ref; accept as-is
     if _is_optional(tp):
-        if j is None:
-            return None
-        return _coerce(j, _optional_inner(tp))
+        inner = _coercer(_optional_inner(tp))
+        return lambda j: None if j is None else inner(j)
     origin = get_origin(tp)
     if origin in (list, tuple):
         args = get_args(tp)
-        inner = args[0] if args else Any
-        seq = [_coerce(v, inner) for v in j]
-        return tuple(seq) if origin is tuple else seq
+        inner = _coercer(args[0] if args else Any)
+        if origin is tuple:
+            return lambda j: tuple(inner(v) for v in j)
+        return lambda j: [inner(v) for v in j]
     if origin is dict:
         args = get_args(tp)
-        vt = args[1] if len(args) == 2 else Any
-        return {k: _coerce(v, vt) for k, v in j.items()}
+        vt = _coercer(args[1] if len(args) == 2 else Any)
+        return lambda j: {k: vt(v) for k, v in j.items()}
     if isinstance(tp, type):
         if issubclass(tp, enum.Enum):
-            return tp(j)
+            return tp
         if dataclasses.is_dataclass(tp):
-            return from_jsonable(j, tp)
+            return functools.partial(from_jsonable, cls=tp)
         if tp is np.ndarray:
-            return np.asarray(j, dtype=np.float64)
+            return lambda j: np.asarray(j, dtype=np.float64)
         if tp in (int, float, str, bool):
-            return tp(j)
-    return j
+            return tp
+    return _identity
+
+
+@functools.lru_cache(maxsize=None)
+def _class_plan(cls):
+    """Per-field read plan: (name, positional key, coercer, is_optional,
+    has_default) — everything from_jsonable needs with zero typing calls at
+    read time (named-first / field_N-fallback semantics, json.h:94-141)."""
+    fields, hints = _class_layout(cls)
+    plan = []
+    for idx, f in enumerate(fields):
+        tp = hints.get(f.name, Any)
+        has_default = (
+            f.default is not dataclasses.MISSING
+            or f.default_factory is not dataclasses.MISSING  # type: ignore[misc]
+        )
+        plan.append((f.name, f"field_{idx}", _coercer(tp), _is_optional(tp), has_default))
+    return tuple(plan)
 
 
 def from_jsonable(j: dict, cls):
@@ -107,28 +148,24 @@ def from_jsonable(j: dict, cls):
     (json.h:94-141)."""
     if not dataclasses.is_dataclass(cls):
         raise TypeError(f"{cls!r} is not a dataclass")
-    fields, hints = _class_layout(cls)
     kwargs = {}
-    for idx, f in enumerate(fields):
-        tp = hints.get(f.name, Any)
-        slot_present = False
-        slot = None
-        if f.name in j:
-            slot, slot_present = j[f.name], True
-        elif f"field_{idx}" in j:
-            slot, slot_present = j[f"field_{idx}"], True
+    for name, pos_key, coerce, optional, has_default in _class_plan(cls):
+        slot_present = True
+        if name in j:
+            slot = j[name]
+        elif pos_key in j:
+            slot = j[pos_key]
+        else:
+            slot, slot_present = None, False
 
-        if _is_optional(tp):
-            kwargs[f.name] = None if (not slot_present or slot is None) else _coerce(slot, tp)
+        if optional:
+            kwargs[name] = None if (not slot_present or slot is None) else coerce(slot)
             continue
         if not slot_present:
-            if (
-                f.default is not dataclasses.MISSING
-                or f.default_factory is not dataclasses.MISSING  # type: ignore[misc]
-            ):
+            if has_default:
                 continue
-            raise KeyError(f"missing required field '{f.name}' for {cls.__name__}")
-        kwargs[f.name] = _coerce(slot, tp)
+            raise KeyError(f"missing required field '{name}' for {cls.__name__}")
+        kwargs[name] = coerce(slot)
     return cls(**kwargs)
 
 

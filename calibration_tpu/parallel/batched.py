@@ -317,9 +317,13 @@ def _intrinsics_batch_phased_jit(
 # med/p90/max — same pattern as the pinhole pose/distortion seed no-wins.
 TWO_PHASE_CAP_A = int(os.environ.get("CALIB_TWO_PHASE_CAP", "6"))
 TWO_PHASE_MIN_BATCH = 64
-# full-width caps for the stereo-extrinsics / bundle phased paths (tuned on
-# the benchmarks/exp_iter_spread.py distributions at B=64)
-EXTRINSICS_PHASE_CAP = int(os.environ.get("CALIB_EXTR_PHASE_CAP", "12"))
+# full-width caps for the stereo-extrinsics / bundle phased paths. Stereo:
+# the B=128 linearization distribution is TIGHT (5/5/6/6 min/med/p90/max,
+# benchmarks/exp_stereo_stage.py 2026-08-20), so the win comes from capping
+# full width AT the median and finishing the tail in two narrow phases —
+# measured 218.3 rigs/s for cap6 3-phase vs 195.7 single-phase / 193.2 for
+# the old cap12 two-phase (cost parity 8.5e-13).
+EXTRINSICS_PHASE_CAP = int(os.environ.get("CALIB_EXTR_PHASE_CAP", "6"))
 BUNDLE_PHASE_CAP = int(os.environ.get("CALIB_BUNDLE_PHASE_CAP", "12"))
 
 
@@ -403,12 +407,19 @@ def intrinsics_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opts", "model_name", "precision", "bounds", "zero_skew", "analytic"),
+    static_argnames=(
+        "opts", "model_name", "precision", "bounds", "zero_skew", "analytic",
+        "schedule",
+    ),
 )
 def _intrinsics_facade_batch_jit(
-    obj, uv, mask, view_valid, opts, model_name, precision, bounds, zero_skew, analytic
+    obj, uv, mask, view_valid, opts, model_name, precision, bounds, zero_skew,
+    analytic, schedule=None,
 ):
+    import dataclasses
+
     from ..models.registry import get_model
+    from ..optim.intrinsics import intrinsics_covariance_device
 
     model = get_model(model_name)
     vmask = mask * view_valid[..., None]
@@ -432,11 +443,44 @@ def _intrinsics_facade_batch_jit(
     safe = jnp.eye(4, dtype=obj.dtype).at[2, 3].set(1.0)
     good = jnp.all(jnp.isfinite(init_poses), axis=(-2, -1)) & (view_valid > 0)
     init_poses = jnp.where(good[..., None, None], init_poses, safe)
-    fn = lambda o, u, m, i0, p0, vv: optimize_intrinsics_device(
-        o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision,
-        view_valid=vv, analytic_jac=analytic,
-    )
-    out = jax.vmap(fn)(obj, uv, vmask, init_intr, init_poses, view_valid)
+    if schedule is not None:
+        # phased compacted LM inside the fused facade program (same lever as
+        # _intrinsics_batch_phased_jit — the 64-rig pipeline's intrinsics
+        # stage previously ran the whole fleet at full width for batch-MAX
+        # linearizations); covariance defers to one pass over the merge
+        def solve(iters):
+            core = dataclasses.replace(
+                opts.core, compute_covariance=False, max_iterations=iters
+            )
+            op = dataclasses.replace(opts, core=core)
+            return jax.vmap(
+                lambda o_, u_, m_, vv, i0, p0: optimize_intrinsics_device(
+                    o_, u_, i0, p0, mask=m_, model=model, opts=op,
+                    precision=precision, view_valid=vv, analytic_jac=analytic,
+                )
+            )
+
+        lm_m, (intr_m, poses_m, err_m) = _phased_lm(
+            solve, (obj, uv, vmask, view_valid), (init_intr, init_poses),
+            schedule, feedback=(0, 1),
+        )
+        n_amb = model.param_count + 7 * v
+        if opts.core.compute_covariance:
+            cov, cov_ok = jax.vmap(
+                lambda o_, u_, m_, vv, i_, p_: intrinsics_covariance_device(
+                    o_, u_, i_, p_, mask=m_, model=model, opts=opts, view_valid=vv
+                )
+            )(obj, uv, vmask, view_valid, intr_m, poses_m)
+        else:
+            cov = jnp.zeros((b, n_amb, n_amb), obj.dtype)
+            cov_ok = jnp.zeros((b,), bool)
+        out = (lm_m, intr_m, poses_m, err_m, cov, cov_ok)
+    else:
+        fn = lambda o, u, m, i0, p0, vv: optimize_intrinsics_device(
+            o, u, i0, p0, mask=m, model=model, opts=opts, precision=precision,
+            view_valid=vv, analytic_jac=analytic,
+        )
+        out = jax.vmap(fn)(obj, uv, vmask, init_intr, init_poses, view_valid)
     # fused QA recheck: the independent f32 reprojection-RMS recompute rides
     # the same dispatch (a separate reprojection_rms_batch call pays its own
     # ~30ms H2D+D2H round trip on this attachment); pinhole-only, like the
@@ -463,6 +507,7 @@ def intrinsics_facade_batch(
     precision: str = "f64",
     mesh=None,
     analytic_jac: bool | None = None,
+    two_phase: bool | None = None,
 ):
     """Facade-parity fleet solve: the full per-sensor pipeline of
     PlanarIntrinsicCalibrationFacade (bounds-sanitized Zhang seed, frozen-skew
@@ -488,10 +533,18 @@ def intrinsics_facade_batch(
         view_valid = jnp.ones(obj_xy.shape[:2], obj_xy.dtype)
     view_valid = jnp.asarray(view_valid, obj_xy.dtype)
     args, real_b = _maybe_shard((obj_xy, img_uv, mask, view_valid), mesh)
-    analytic = _resolve_analytic(analytic_jac, obj_xy.shape[0])
+    b = obj_xy.shape[0]
+    analytic = _resolve_analytic(analytic_jac, b)
+    # phased compacted LM once the fleet is wide enough to have a tail worth
+    # compacting (same auto rule as intrinsics_batch; covariance deferred
+    # inside the jit, so it composes)
+    if two_phase is None:
+        two_phase = mesh is None and b >= TWO_PHASE_MIN_BATCH
+    schedule = phase_schedule(model_name, b, opts) if two_phase else None
     return _trim(
         _intrinsics_facade_batch_jit(
-            *args, opts, model_name, precision, bounds, zero_skew, analytic
+            *args, opts, model_name, precision, bounds, zero_skew, analytic,
+            schedule,
         ),
         real_b,
     )
@@ -602,7 +655,13 @@ def extrinsics_batch(
     if two_phase:
         total = opts.core.max_iterations
         cap = min(EXTRINSICS_PHASE_CAP, total)
-        schedule = ((cap, None), (max(total - cap, 1), max(b // 4, 1)))
+        mid = min(10, max(total - cap, 1))
+        rest = total - cap - mid
+        # 3-phase: full width to the median exit, quarter width for the p90
+        # tail, B/16 for stragglers (see EXTRINSICS_PHASE_CAP note)
+        schedule = ((cap, None), (mid, max(b // 4, 1)))
+        if rest > 0:
+            schedule = schedule + ((rest, max(b // 16, 1)),)
         return _trim(
             _extrinsics_batch_phased_jit(
                 *args, opts, model_name, solver, analytic, schedule

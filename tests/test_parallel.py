@@ -322,3 +322,55 @@ def test_homography_batch_phased_matches_single(monkeypatch):
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-8)
     assert np.asarray(ok2).all() == np.asarray(ok1).all()
     np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), rtol=1e-4, atol=1e-12)
+
+
+def test_intrinsics_facade_batch_phased_matches_single(monkeypatch):
+    """The fused facade program's phased LM (schedule threaded into
+    batched._intrinsics_facade_batch_jit — the 64-rig pipeline's intrinsics
+    stage) must land on the same minimum as the single-phase facade program,
+    including the deferred covariance and the ragged view_valid freezing.
+    Cap pinned low so real lanes flow through the compact/merge path."""
+    intr = synth.default_camera()
+    obj = synth.make_target_grid(5, 7, 0.05)
+    poses = synth.circle_views(6)
+    rng = np.random.default_rng(7)
+    b = 8
+    obj_b = np.tile(obj[None, None], (b, 6, 1, 1))
+    uv_b = np.stack(
+        [np.asarray(synth.render_pixels(intr, poses, obj, noise=0.3, rng=rng)) for _ in range(b)]
+    )
+    # ragged fleet: the last camera contributes only 5 of the 6 view rows
+    view_valid = np.ones((b, 6))
+    view_valid[-1, 5] = 0.0
+
+    from calibration_tpu.optim import IntrinsicsOptimOptions
+
+    opts = IntrinsicsOptimOptions(
+        core=OptimOptions(max_iterations=30, compute_covariance=True)
+    )
+    seed1, ok1, out1, rms1 = batched.intrinsics_facade_batch(
+        obj_b, uv_b, view_valid=view_valid, opts=opts, two_phase=False
+    )
+    monkeypatch.setattr(batched, "TWO_PHASE_CAP_A", 2)
+    seed2, ok2, out2, rms2 = batched.intrinsics_facade_batch(
+        obj_b, uv_b, view_valid=view_valid, opts=opts, two_phase=True
+    )
+    lm1, intr1, poses1, err1, cov1, cok1 = out1
+    lm2, intr2, poses2, err2, cov2, cok2 = out2
+    assert np.asarray(lm1.success).all() and np.asarray(lm2.success).all()
+    np.testing.assert_allclose(np.asarray(lm2.cost), np.asarray(lm1.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(err2), np.asarray(err1), atol=1e-5)
+    # focal/principal point: same eps=1e-9 basin; the phase boundary resets
+    # damping so the stop points spread a few 1e-6 relative (cost gate above
+    # is the same-minimum criterion)
+    np.testing.assert_allclose(
+        np.asarray(intr2)[:, :4], np.asarray(intr1)[:, :4], rtol=5e-6
+    )
+    # seed + pose gating are pre-LM and must be bit-identical
+    np.testing.assert_array_equal(np.asarray(ok2), np.asarray(ok1))
+    np.testing.assert_allclose(np.asarray(seed2.kmtx), np.asarray(seed1.kmtx), rtol=0, atol=0)
+    assert np.asarray(cok2).all()
+    np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), rtol=1e-2, atol=1e-5)
+    # f32 QA metric recomputed from two same-basin (~1e-6-rel apart)
+    # solutions: pixel-scale agreement is the contract, not ulp-level
+    np.testing.assert_allclose(np.asarray(rms2), np.asarray(rms1), rtol=1e-3, atol=1e-5)
