@@ -179,7 +179,10 @@ def bench_homography():
     from calibration_tpu.ops import homography as H
     import jax.numpy as jnp
 
-    b = int(os.environ.get("BENCH_HOMOG_BATCH", "4096"))
+    # default from the measured curve (exp_homog_stage 2026-08-21: B=4096
+    # cap4 6550, B=8192 cap4 9844 solves/s — the seed and LM both amortize
+    # past 4096)
+    b = int(os.environ.get("BENCH_HOMOG_BATCH", "8192"))
     n_cpu = 32
     _log(f"[1 homography] batch={b}")
     hs, src, dst = pb.homography_problems(b)
@@ -579,7 +582,10 @@ def bench_bundle():
     from calibration_tpu.optim import BundleOptions, OptimOptions
     from calibration_tpu.parallel import batched
 
-    b = int(os.environ.get("BENCH_BUNDLE_BATCH", "64"))
+    # default from the measured curve (exp_bundle_stage 2026-08-21: B=64
+    # 176-183, B=128 236-242, B=256 241 rigs/s — saturates at 128; lin
+    # distribution is uniformly 4 so schedules are moot)
+    b = int(os.environ.get("BENCH_BUNDLE_BATCH", "128"))
     n_cpu = 4
     _log(f"[5 bundle] batch={b}")
     p = pb.bundle_problems(b)

@@ -232,7 +232,14 @@ def smallest_singular_vector(a, via_gram: bool = True):
     if via_gram and m > n:
         g = jnp.einsum("...ki,...kj->...ij", a, a)
         tr = jnp.trace(g, axis1=-2, axis2=-1)
-        eps = (1e-12 / n) * tr + 1e-300
+        # dtype-aware shift: 1e-12 relative in f64; in f32 (the homography
+        # seed's coarse path) 1e-12 sits BELOW Cholesky roundoff on an
+        # exactly-singular G (~n*u*||G||), which would NaN the factorization
+        # on noiseless data — scale with the unit roundoff instead.
+        # Eigenvectors are unchanged by any shift; polish quality degrades
+        # only by ((lambda0+eps)/(lambda1+eps))^2 ~ 1e-11 even at f32 eps.
+        u = float(jnp.finfo(a.dtype).eps)
+        eps = (max(1e-12, 64.0 * u) / n) * tr + float(jnp.finfo(a.dtype).tiny)
         shifted = g + eps[..., None, None] * jnp.eye(n, dtype=a.dtype)
         if _NULLVEC_SVD_START:
             _, _, vt = jnp.linalg.svd(g)

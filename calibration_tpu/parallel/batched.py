@@ -73,14 +73,34 @@ def _resolve_analytic(analytic_jac, batch):
     return bool(analytic_jac)
 
 
-@functools.partial(jax.jit, static_argnames=("options",))
-def _homography_batch_jit(init_h, obj, uv, mask, options):
+def _homog_seed(obj, uv, mask, seed_precision):
+    """DLT seed, fused into the solver jit (a separate estimate_homography_dlt
+    dispatch was 277 ms of the 614 ms B=4096 row — exp_homog_stage
+    2026-08-21). seed_precision="f32" runs the Hartley-normalize + gram +
+    inverse-power chain at native f32 lane speed — the f64 LM it feeds
+    re-converges to the same eps=1e-9 minimum (equivalence-tested), so seed
+    precision is an implementation detail of the refine pipeline; the public
+    ops.homography.estimate_homography_dlt stays f64."""
+    if seed_precision == "f32":
+        h = H.estimate_homography_dlt(
+            obj.astype(jnp.float32), uv.astype(jnp.float32),
+            mask.astype(jnp.float32),
+        )
+        return h.astype(obj.dtype)
+    return H.estimate_homography_dlt(obj, uv, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("options", "seed_precision"))
+def _homography_batch_jit(obj, uv, mask, options, seed_precision):
+    init_h = _homog_seed(obj, uv, mask, seed_precision)
     fn = lambda h0, o, u, m: optimize_homography_device(h0, o, u, m, options=options)
     return jax.vmap(fn)(init_h, obj, uv, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("options", "schedule"))
-def _homography_batch_phased_jit(init_h, obj, uv, mask, options, schedule):
+@functools.partial(
+    jax.jit, static_argnames=("options", "schedule", "seed_precision")
+)
+def _homography_batch_phased_jit(obj, uv, mask, options, schedule, seed_precision):
     """Phased compacted variant of _homography_batch_jit (see _phased_lm).
     The 8-param LM tail is tiny: measured B=4096 linearizations cluster at
     3-5 with a short tail, so the vmapped while_loop's batch-MAX full-width
@@ -89,6 +109,8 @@ def _homography_batch_phased_jit(init_h, obj, uv, mask, options, schedule):
     import dataclasses
 
     from ..optim.homography import homography_covariance_device
+
+    init_h = _homog_seed(obj, uv, mask, seed_precision)
 
     def solve(iters):
         op = dataclasses.replace(
@@ -114,14 +136,15 @@ def _homography_batch_phased_jit(init_h, obj, uv, mask, options, schedule):
     return lm_m, h_m, cov, cov_ok
 
 
-# full-width cap for the homography phased path (measured distribution at
-# B=4096: see benchmarks/exp_homog_stage.py)
-HOMOG_PHASE_CAP = int(os.environ.get("CALIB_HOMOG_PHASE_CAP", "5"))
+# full-width cap for the homography phased path (exp_homog_stage 2026-08-21:
+# lin distribution 3/4/4/5 min/med/p90/max; at B=8192 cap4_k8 9844 vs cap5
+# 8539 vs cap6 7585 vs single-phase 5085 solves/s — cap AT the median)
+HOMOG_PHASE_CAP = int(os.environ.get("CALIB_HOMOG_PHASE_CAP", "4"))
 
 
 def homography_batch(
     obj_xy, img_uv, mask=None, options: OptimOptions = OptimOptions(), mesh=None,
-    two_phase: bool | None = None,
+    two_phase: bool | None = None, seed_precision: str = "f32",
 ):
     """DLT + LM refine for a batch of homography problems.
 
@@ -132,13 +155,15 @@ def homography_batch(
     iterations (see _phased_lm); None -> auto (on for B >=
     TWO_PHASE_MIN_BATCH single-shard runs; covariance is deferred to one
     final pass over the merged solution, so it composes with two_phase).
+
+    seed_precision: dtype of the fused DLT seed ("f32" default — the f64 LM
+    re-converges to the same minimum; pass "f64" for a bit-stable seed).
     """
     obj_xy = jnp.asarray(obj_xy)
     img_uv = jnp.asarray(img_uv)
     if mask is None:
         mask = jnp.ones(obj_xy.shape[:-1], obj_xy.dtype)
-    init_h = H.estimate_homography_dlt(obj_xy, img_uv, mask)
-    args, real_b = _maybe_shard((init_h, obj_xy, img_uv, jnp.asarray(mask, obj_xy.dtype)), mesh)
+    args, real_b = _maybe_shard((obj_xy, img_uv, jnp.asarray(mask, obj_xy.dtype)), mesh)
     b = obj_xy.shape[0]
     if two_phase is None:
         two_phase = mesh is None and b >= TWO_PHASE_MIN_BATCH
@@ -146,8 +171,11 @@ def homography_batch(
         total = options.max_iterations
         cap = min(HOMOG_PHASE_CAP, total)
         schedule = ((cap, None), (max(total - cap, 1), max(b // 8, 1)))
-        return _trim(_homography_batch_phased_jit(*args, options, schedule), real_b)
-    return _trim(_homography_batch_jit(*args, options), real_b)
+        return _trim(
+            _homography_batch_phased_jit(*args, options, schedule, seed_precision),
+            real_b,
+        )
+    return _trim(_homography_batch_jit(*args, options, seed_precision), real_b)
 
 
 @functools.partial(

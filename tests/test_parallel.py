@@ -374,3 +374,28 @@ def test_intrinsics_facade_batch_phased_matches_single(monkeypatch):
     # f32 QA metric recomputed from two same-basin (~1e-6-rel apart)
     # solutions: pixel-scale agreement is the contract, not ulp-level
     np.testing.assert_allclose(np.asarray(rms2), np.asarray(rms1), rtol=1e-3, atol=1e-5)
+
+
+def test_homography_batch_f32_seed_matches_f64_seed():
+    """The fused f32 DLT seed (homography_batch default) must land the f64
+    LM on the same minimum as an f64 seed: same cost, same H to the LM
+    tolerance, on both noiseless and noisy problems (noiseless exercises
+    the dtype-aware gram shift in ops.linalg.smallest_singular_vector —
+    a f32 Cholesky of an exactly singular gram NaNs without it)."""
+    hs, src, dst = _homography_problems(8)  # noiseless: H recovered exactly
+    opts = OptimOptions(max_iterations=50, compute_covariance=False)
+    lm32, h32, _, _ = batched.homography_batch(src, dst, options=opts, seed_precision="f32")
+    lm64, h64, _, _ = batched.homography_batch(src, dst, options=opts, seed_precision="f64")
+    assert np.asarray(lm32.success).all() and np.asarray(lm64.success).all()
+    for i in range(8):
+        np.testing.assert_allclose(np.asarray(h32)[i], hs[i], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(h32), np.asarray(h64), atol=1e-8)
+
+    rng = np.random.default_rng(23)
+    dstn = dst + rng.normal(0, 0.05, dst.shape)
+    lm32n, h32n, _, _ = batched.homography_batch(src, dstn, options=opts, seed_precision="f32")
+    lm64n, h64n, _, _ = batched.homography_batch(src, dstn, options=opts, seed_precision="f64")
+    np.testing.assert_allclose(
+        np.asarray(lm32n.cost), np.asarray(lm64n.cost), rtol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(h32n), np.asarray(h64n), atol=1e-7)
