@@ -347,11 +347,14 @@ TWO_PHASE_CAP_A = int(os.environ.get("CALIB_TWO_PHASE_CAP", "6"))
 TWO_PHASE_MIN_BATCH = 64
 # full-width caps for the stereo-extrinsics / bundle phased paths. Stereo:
 # the B=128 linearization distribution is TIGHT (5/5/6/6 min/med/p90/max,
-# benchmarks/exp_stereo_stage.py 2026-08-20), so the win comes from capping
-# full width AT the median and finishing the tail in two narrow phases —
-# measured 218.3 rigs/s for cap6 3-phase vs 195.7 single-phase / 193.2 for
-# the old cap12 two-phase (cost parity 8.5e-13).
-EXTRINSICS_PHASE_CAP = int(os.environ.get("CALIB_EXTR_PHASE_CAP", "6"))
+# benchmarks/exp_stereo_stage.py), so the win comes from capping full width
+# AT the median and finishing in a HALF-width phase (wide enough that the
+# ~50% still-unconverged lanes never trip the full-width fallback) plus a
+# B/16 straggler phase. Same-session sweep (/tmp/r5_stereo_sched2 2026-08-21):
+# cap5+half 232.6 > cap6 3ph 214.7 > cap6 4ph 205.4 > cap4+half 200.3 >
+# cap5+quarter 176.3 (fallback trips) > single-phase 172.9 rigs/s, cost
+# parity <= 2e-11 in every arm.
+EXTRINSICS_PHASE_CAP = int(os.environ.get("CALIB_EXTR_PHASE_CAP", "5"))
 BUNDLE_PHASE_CAP = int(os.environ.get("CALIB_BUNDLE_PHASE_CAP", "12"))
 
 
@@ -683,11 +686,11 @@ def extrinsics_batch(
     if two_phase:
         total = opts.core.max_iterations
         cap = min(EXTRINSICS_PHASE_CAP, total)
-        mid = min(10, max(total - cap, 1))
+        mid = min(8, max(total - cap, 1))
         rest = total - cap - mid
-        # 3-phase: full width to the median exit, quarter width for the p90
+        # 3-phase: full width to the median exit, HALF width for the p90
         # tail, B/16 for stragglers (see EXTRINSICS_PHASE_CAP note)
-        schedule = ((cap, None), (mid, max(b // 4, 1)))
+        schedule = ((cap, None), (mid, max(b // 2, 1)))
         if rest > 0:
             schedule = schedule + ((rest, max(b // 16, 1)),)
         return _trim(
