@@ -202,12 +202,31 @@ def bench_homography():
     )
     hm = np.asarray(hm)
     parity = max(float(np.abs(hm[i] - cpu_res[i]).max()) for i in range(n_cpu))
+
+    # same-minimum gate (config-2/3/5 pattern): both solvers' H evaluated by
+    # ONE shared numpy transfer-cost evaluator. dH alone conflates "different
+    # minimum" with "different stop-point in the same eps=1e-9 basin" — the
+    # f32 seed changes the LM's path, so endpoints spread ~1e-7 in the flat
+    # directions while the cost agrees to ~1e-12.
+    def transfer_cost(h, s, d):
+        ph = np.concatenate([s, np.ones((len(s), 1))], 1) @ h.T
+        r = ph[:, :2] / ph[:, 2:] - d
+        return float((r * r).sum())
+
+    cost_rels = [
+        abs(transfer_cost(hm[i], src[i], dst[i]) - transfer_cost(cpu_res[i], src[i], dst[i]))
+        / max(transfer_cost(cpu_res[i], src[i], dst[i]), 1e-300)
+        for i in range(n_cpu)
+    ]
+    cost_rel = float(max(cost_rels))
     return {
         "metric": "homography_dlt_lm_solves_per_sec",
         "value": round(b / dt, 1),
         "unit": "solves/sec",
         **floor_fields("homography_dlt_lm_solves_per_sec", b / dt, n_cpu / cpu_dt, passes, n_cpu),
         "parity_max_abs_dH": parity,
+        "parity_final_cost_rel": cost_rel,
+        "parity_cost_ok": bool(cost_rel <= 1e-7),
     }
 
 
