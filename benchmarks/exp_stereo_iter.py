@@ -19,6 +19,15 @@ share. If jac64 is a small slice, a mixed-precision Jacobian phase cannot
 win (the intrinsics mixed_jac no-win, docs/STATUS.md round 4, predicted
 the same).
 
+CAVEAT (measured 2026-08-21): on this attachment the execution layer
+replays CHEAP same-shape programs even for genuinely different inputs —
+every repeat of the residual-only arm fingerprinted bit-identical to the
+warmup and timed_batch correctly aborted ("no honest timing"). The
+full-solve numbers in exp_stereo_stage survive the guard (LM outputs
+differ); the per-piece decomposition needs an attachment whose executor
+does not memoize, or inputs routed through a side effect the memo cannot
+see. Kept for such days.
+
 Usage: python benchmarks/exp_stereo_iter.py [batch] [repeats]
 """
 
