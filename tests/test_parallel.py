@@ -399,3 +399,25 @@ def test_homography_batch_f32_seed_matches_f64_seed():
         np.asarray(lm32n.cost), np.asarray(lm64n.cost), rtol=1e-10
     )
     np.testing.assert_allclose(np.asarray(h32n), np.asarray(h64n), atol=1e-7)
+
+
+def test_homography_batch_f32_seed_degenerate_lane_stays_finite():
+    """A degenerate lane (all points collinear — the DLT gram is rank-
+    deficient beyond the usual 1-dim null space) must not poison the f32
+    seed path with NaNs: the dtype-aware gram shift keeps the Cholesky
+    finite, and healthy lanes in the same batch still recover their H."""
+    hs, src, dst = _homography_problems(8)
+    # lane 3: collinear points (x, 2x) — no unique homography exists
+    t = np.linspace(-1, 1, src.shape[1])
+    src = src.copy(); dst = dst.copy()
+    src[3, :, 0] = t; src[3, :, 1] = 2 * t
+    dst[3] = src[3]
+    opts = OptimOptions(max_iterations=30, compute_covariance=False)
+    lm, hm, _, _ = batched.homography_batch(src, dst, options=opts, seed_precision="f32")
+    hm = np.asarray(hm)
+    # healthy lanes unaffected
+    for i in [0, 1, 2, 4, 5, 6, 7]:
+        np.testing.assert_allclose(hm[i], hs[i], atol=1e-8)
+    # the degenerate lane yields SOME finite matrix (garbage-in, finite-out
+    # — degeneracy detection is the RANSAC layer's job, ransac.h:100-119)
+    assert np.isfinite(hm[3]).all()
