@@ -62,6 +62,14 @@ def main():
             "cap8_k4": ((8, None), (42, max(b // 4, 1))),
             "cap10_k8": ((10, None), (40, max(b // 8, 1))),
             "cap6_3ph": ((6, None), (10, max(b // 4, 1)), (34, max(b // 16, 1))),
+            # round-2 refinement arms (2026-08-21, B=128 same-session vs
+            # single-phase 172.9): cap5_half 232.6 > cap6_3ph 214.7 >
+            # cap4_half 200.3 > cap5 quarter-width 176.3 (the >k unconverged
+            # fallback trips when the cap sits AT the median and the
+            # continuation is only B/4) — cap5_half is the production
+            # default (parallel/batched.py::extrinsics_batch)
+            "cap5_half": ((5, None), (8, max(b // 2, 1)), (37, max(b // 16, 1))),
+            "cap4_half": ((4, None), (9, max(b // 2, 1)), (37, max(b // 16, 1))),
         }
         for name, sched in schedules.items():
             # _extrinsics_batch_phased_jit signature:

@@ -350,7 +350,8 @@ TWO_PHASE_MIN_BATCH = 64
 # benchmarks/exp_stereo_stage.py), so the win comes from capping full width
 # AT the median and finishing in a HALF-width phase (wide enough that the
 # ~50% still-unconverged lanes never trip the full-width fallback) plus a
-# B/16 straggler phase. Same-session sweep (/tmp/r5_stereo_sched2 2026-08-21):
+# B/16 straggler phase. Same-session sweep (benchmarks/exp_stereo_stage.py cap5_half/
+# cap4_half arms, 2026-08-21):
 # cap5+half 232.6 > cap6 3ph 214.7 > cap6 4ph 205.4 > cap4+half 200.3 >
 # cap5+quarter 176.3 (fallback trips) > single-phase 172.9 rigs/s, cost
 # parity <= 2e-11 in every arm.
