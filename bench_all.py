@@ -179,9 +179,9 @@ def bench_homography():
     from calibration_tpu.ops import homography as H
     import jax.numpy as jnp
 
-    # default from the measured curve (exp_homog_stage 2026-08-21: B=4096
-    # cap4 6550, B=8192 cap4 9844 solves/s — the seed and LM both amortize
-    # past 4096)
+    # default from the measured curve (2026-08-21, cap4 + fused f32 seed):
+    # B=4096 6550, B=8192 15393, B=16384 10649 solves/s — amortizes to 8192,
+    # turns over at 16384 (phased-program temporaries pressure HBM)
     b = int(os.environ.get("BENCH_HOMOG_BATCH", "8192"))
     n_cpu = 32
     _log(f"[1 homography] batch={b}")
